@@ -1,0 +1,125 @@
+"""Command-line entry point (ref: main.py + deepxi/args.py + run.sh).
+
+Usage mirrors the reference's flags plus a preset shortcut that replaces the
+run.sh/config.sh bash layers:
+
+    python -m deepxi_tpu --ver resnet-1.1c --train 1
+    python -m deepxi_tpu --ver resnet-1.1c --infer 1 --test_epoch 200 --gain mmse-lsa
+    python -m deepxi_tpu --ver resnet-1.1c --test 1
+
+Any preset hyper-parameter can be overridden on the command line. The
+upstream `infer`/`test` dispatch is restored (the fork miswired --infer to a
+mixture-writing helper, ref: main.py:82-94 -- a catalogued defect).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from typing import List, Optional
+
+from deepxi_tpu.config import Config, VERSION_PRESETS, preset, str_to_bool, str_to_list
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="deepxi_tpu",
+                                description="Deep Xi-TPU speech enhancement framework")
+    # general (ref: deepxi/args.py:31-43)
+    p.add_argument("--ver", type=str, default="resnet-1.1c", help="Model version/preset")
+    p.add_argument("--test_epoch", type=str_to_list, default=None, help="Epoch(s) to test")
+    p.add_argument("--train", type=str_to_bool, default=False)
+    p.add_argument("--infer", type=str_to_bool, default=False)
+    p.add_argument("--test", type=str_to_bool, default=False)
+    p.add_argument("--network_type", type=str, default=None)
+    p.add_argument("--inp_tgt_type", type=str, default=None)
+    # train (ref: deepxi/args.py:45-57)
+    p.add_argument("--mbatch_size", type=int, default=None)
+    p.add_argument("--sample_size", type=int, default=None)
+    p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--resume_epoch", type=int, default=None)
+    p.add_argument("--save_model", type=str_to_bool, default=None)
+    p.add_argument("--log_iter", type=str_to_bool, default=None)
+    p.add_argument("--eval_example", type=str_to_bool, default=None)
+    p.add_argument("--val_flag", type=str_to_bool, default=None)
+    p.add_argument("--reset_inp_tgt", type=str_to_bool, default=None)
+    p.add_argument("--reset_sample", type=str_to_bool, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    # outputs (ref: deepxi/args.py:59-74)
+    p.add_argument("--out_type", type=str, default=None)
+    p.add_argument("--gain", type=str_to_list, default=None)
+    # paths (ref: deepxi/args.py:76-85)
+    for flag in ("model_path", "set_path", "log_path", "data_path",
+                 "test_x_path", "test_s_path", "test_d_path", "out_path",
+                 "saved_data_path"):
+        p.add_argument(f"--{flag}", type=str, default=None)
+    # features (ref: deepxi/args.py:87-94)
+    for flag in ("min_snr", "max_snr", "snr_inter", "f_s", "T_d", "T_s", "n_filters"):
+        p.add_argument(f"--{flag}", type=int, default=None)
+    # network (ref: deepxi/args.py:96-117)
+    for flag in ("d_model", "n_blocks", "n_heads", "d_b", "d_f", "d_ff", "k",
+                 "max_d_rate", "warmup_steps", "length", "m_1", "max_len"):
+        p.add_argument(f"--{flag}", type=int, default=None)
+    p.add_argument("--causal", type=str_to_bool, default=None)
+    p.add_argument("--unit_type", type=str, default=None)
+    p.add_argument("--loss_fnc", type=str, default=None)
+    p.add_argument("--outp_act", type=str, default=None)
+    # map (ref: deepxi/args.py:119-121)
+    p.add_argument("--map_type", type=str_to_list, default=None)
+    p.add_argument("--map_params", type=str_to_list, default=None)
+    # parallelism (TPU-native)
+    p.add_argument("--n_data_shards", type=int, default=None)
+    p.add_argument("--n_model_shards", type=int, default=None)
+    p.add_argument("--platform", type=str, default=None,
+                   help="Force a JAX platform (cpu/tpu); overrides any "
+                        "site-level backend registration")
+    return p
+
+
+def config_from_args(argv: Optional[List[str]] = None) -> Config:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    base = preset(args.ver) if args.ver in VERSION_PRESETS else Config(ver=args.ver)
+    field_names = {f.name for f in dataclasses.fields(Config)}
+    overrides = {k: v for k, v in vars(args).items()
+                 if k in field_names and v is not None}
+    # booleans parsed with default False must still override presets
+    for k in ("train", "infer", "test"):
+        overrides[k] = getattr(args, k)
+    return base.replace(**overrides)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    cfg = config_from_args(argv)
+    print(f"Version: {cfg.ver} ({cfg.network_type}, {cfg.inp_tgt_type})")
+
+    from deepxi_tpu.data import batch_list, val_wav_batch
+    from deepxi_tpu.framework import DeepXiTPU
+
+    train_s_list = train_d_list = None
+    if cfg.train:
+        import os
+        train_s_list = batch_list(os.path.join(cfg.set_path, "train_clean_speech"),
+                                  "clean_speech", cfg.data_path)
+        train_d_list = batch_list(os.path.join(cfg.set_path, "train_noise"),
+                                  "noise", cfg.data_path)
+
+    deepxi = DeepXiTPU(cfg, train_s_list, train_d_list)
+
+    if cfg.train:
+        deepxi.train()
+    if cfg.infer:
+        written = deepxi.infer()
+        print(f"wrote {len(written)} outputs")
+    if cfg.test:
+        deepxi.test()
+    if not (cfg.train or cfg.infer or cfg.test):
+        print("nothing to do: pass --train 1, --infer 1 and/or --test 1")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,194 @@
+"""Typed configuration + the reference's version-preset catalogue.
+
+One typed config replaces the reference's three stacked layers --
+hostname-keyed config.sh, per-version bash blocks in run.sh, and argparse
+(ref: config.sh:10-64, run.sh:11-353, deepxi/args.py:28-133). The preset
+hyper-parameters are carried over verbatim from run.sh; the DEMAND
+VoiceBank variants (SNR 0..15 step 5, no val set, test epoch 125) come from
+run_demand_voice_bank.sh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+
+def str_to_list(x: str):
+    """The reference's nested-flag mini-DSL (ref: deepxi/args.py:11-24):
+    ';' splits sublists, ',' splits items, 'neg_'->'-', 'pi' -> math.pi."""
+    def read_dtype(v: str):
+        v = v.replace("neg_", "-")
+        if v == "pi":
+            return math.pi
+        if v == "-pi":
+            return -math.pi
+        if any(c.isdigit() for c in v):
+            return float(v) if "." in v else int(v)
+        return v
+
+    if ";" in x:
+        return [[read_dtype(z) for z in y.split(",")] for y in x.split(";")]
+    if "," in x:
+        return [read_dtype(y) for y in x.split(",")]
+    return read_dtype(x)
+
+
+def str_to_bool(s: Union[str, bool]) -> bool:
+    if isinstance(s, bool):
+        return s
+    return s.lower() in ("yes", "true", "t", "1")
+
+
+@dataclasses.dataclass
+class Config:
+    """Full framework configuration (flag parity with ref: deepxi/args.py)."""
+    ver: str = "resnet-1.1c"
+    network_type: str = "ResNetV2"
+    inp_tgt_type: str = "MagXi"
+
+    # modes
+    train: bool = False
+    infer: bool = False
+    test: bool = False
+
+    # features (ref: main.py:33-35 derivations)
+    f_s: int = 16000
+    T_d: int = 32
+    T_s: int = 16
+    min_snr: int = -10
+    max_snr: int = 20
+    snr_inter: int = 1
+    n_filters: int = 40
+
+    # training
+    mbatch_size: int = 8
+    sample_size: int = 1000
+    max_epochs: int = 200
+    resume_epoch: int = 0
+    test_epoch: Union[int, List[int]] = 200
+    save_model: bool = True
+    log_iter: bool = False
+    eval_example: bool = False
+    val_flag: bool = True
+    loss_fnc: str = "BinaryCrossentropy"
+    seed: int = 0
+
+    # resets
+    reset_inp_tgt: bool = False
+    reset_sample: bool = False
+
+    # network hyper-parameters
+    d_model: Optional[int] = None
+    n_blocks: Optional[int] = None
+    n_heads: Optional[int] = None
+    d_f: Optional[int] = None
+    d_b: Optional[int] = None
+    d_ff: Optional[int] = None
+    k: Optional[int] = None
+    max_d_rate: Optional[int] = None
+    causal: bool = True
+    warmup_steps: int = 40000
+    length: Optional[int] = None
+    m_1: Optional[int] = None
+    unit_type: Optional[str] = None
+    outp_act: str = "Sigmoid"
+    max_len: Optional[int] = None
+
+    # map
+    map_type: Any = "DBNormalCDF"
+    map_params: Any = None
+
+    # inference
+    out_type: str = "y"
+    gain: Union[str, List[str]] = "mmse-lsa"
+    saved_data_path: Optional[str] = None
+
+    # paths (ref: deepxi/args.py:76-85)
+    model_path: str = "model"
+    set_path: str = "set"
+    log_path: str = "log"
+    data_path: str = "data"
+    test_x_path: str = "set/test_noisy_speech"
+    test_s_path: str = "set/test_clean_speech"
+    test_d_path: str = "set/test_noise"
+    out_path: str = "out"
+
+    # parallelism (TPU-native; no reference equivalent)
+    n_data_shards: Optional[int] = None
+    n_model_shards: int = 1
+
+    @property
+    def N_d(self) -> int:
+        return int(self.f_s * self.T_d * 0.001)
+
+    @property
+    def N_s(self) -> int:
+        return int(self.f_s * self.T_s * 0.001)
+
+    @property
+    def K(self) -> int:
+        return int(2 ** math.ceil(math.log2(self.N_d)))
+
+    @property
+    def snr_levels(self) -> List[int]:
+        return list(range(self.min_snr, self.max_snr + 1, self.snr_inter))
+
+    def network_kwargs(self) -> Dict[str, Any]:
+        return {k: getattr(self, k) for k in
+                ("d_model", "n_blocks", "n_heads", "d_f", "k", "max_d_rate",
+                 "causal", "unit_type", "outp_act", "max_len", "length", "m_1",
+                 "warmup_steps")}
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# Hyper-parameter presets carried over verbatim from run.sh
+# (ref: run.sh:11-353; DEMAND-VB variants ref: run_demand_voice_bank.sh).
+_COMMON = dict(inp_tgt_type="MagXi", map_type="DBNormalCDF", sample_size=1000,
+               f_s=16000, T_d=32, T_s=16, loss_fnc="BinaryCrossentropy",
+               outp_act="Sigmoid", max_epochs=200, mbatch_size=8)
+
+VERSION_PRESETS: Dict[str, Dict[str, Any]] = {
+    "mhanet-1.1c": dict(network_type="MHANetV3", d_model=256, n_blocks=5,
+                        n_heads=8, warmup_steps=40000, causal=True,
+                        max_len=2048, test_epoch=200, **_COMMON),
+    "mhanet-1.0c": dict(network_type="MHANetV2", d_model=256, n_blocks=5,
+                        n_heads=8, warmup_steps=40000, causal=True,
+                        test_epoch=200, **_COMMON),
+    "resnet-1.1c": dict(network_type="ResNetV2", d_model=256, n_blocks=40,
+                        d_f=64, k=3, max_d_rate=16, causal=True,
+                        unit_type="ReLU->LN->W+b", test_epoch=200, **_COMMON),
+    "resnet-1.1n": dict(network_type="ResNetV2", d_model=256, n_blocks=40,
+                        d_f=64, k=3, max_d_rate=16, causal=False,
+                        unit_type="ReLU->LN->W+b", test_epoch=180, **_COMMON),
+    "rdlnet-1.0n": dict(network_type="RDLNet", n_blocks=18, length=7, m_1=32,
+                        causal=False, unit_type="ReLU->LN->W+b",
+                        test_epoch=180, **_COMMON),
+    "resnet-1.0c": dict(network_type="ResNet", d_model=256, n_blocks=40,
+                        d_f=64, k=3, max_d_rate=16, causal=True,
+                        test_epoch=100, **_COMMON),
+    "resnet-1.0n": dict(network_type="ResNet", d_model=256, n_blocks=40,
+                        d_f=64, k=3, max_d_rate=16, causal=False,
+                        test_epoch=180, **_COMMON),
+    "reslstm-1.0c": dict(network_type="ResLSTM", d_model=512, n_blocks=5,
+                         causal=True, test_epoch=200, **_COMMON),
+}
+
+# DEMAND VoiceBank training variants (ref: run_demand_voice_bank.sh:6-8,40).
+for _ver in list(VERSION_PRESETS):
+    VERSION_PRESETS[_ver + "-vb"] = dict(VERSION_PRESETS[_ver], min_snr=0,
+                                         max_snr=15, snr_inter=5,
+                                         val_flag=False, test_epoch=125)
+
+
+def preset(ver: str, **overrides: Any) -> Config:
+    """Config for a version preset, with overrides."""
+    if ver not in VERSION_PRESETS:
+        raise ValueError(f"Unknown version preset: {ver!r} "
+                         f"(known: {sorted(VERSION_PRESETS)})")
+    kw = dict(VERSION_PRESETS[ver])
+    kw.update(overrides)
+    return Config(ver=ver, **kw)

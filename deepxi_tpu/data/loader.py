@@ -1,0 +1,117 @@
+"""Host-side training batch loader: wav reads + bucketed padding + prefetch.
+
+Replaces the reference's single-threaded ``tf.data.from_generator`` pipeline
+(ref: deepxi/model.py:1953-2012, 2256-2290) with:
+
+  * deterministic shuffling/noise-draws from a seeded ``np.random.Generator``
+    (the reference's `random`/`np.random` calls are unseeded -- a catalogued
+    nondeterminism source, SURVEY.md section 5);
+  * sequence-length *bucketing*: waveforms pad to the next bucket boundary
+    instead of pad-to-longest, so XLA sees a bounded set of static shapes;
+  * a double-buffered background thread so wav decoding overlaps device
+    compute (the SNR mixing and STFT themselves run on device inside the
+    jitted train step).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from deepxi_tpu.data.wavio import read_wav
+
+
+def bucket_length(n: int, N_s: int = 256, frames_per_bucket: int = 32,
+                  min_frames: int = 32) -> int:
+    """Pad length: frame count rounded up to a multiple of ``frames_per_bucket``
+    (>= min_frames), converted back to samples. ceil(n/N_s) frames cover n
+    samples under pad_end framing."""
+    frames = -(-n // N_s)
+    frames = max(min_frames, -(-frames // frames_per_bucket) * frames_per_bucket)
+    return frames * N_s
+
+
+class MiniBatchLoader:
+    """Yields (s, d, s_len, d_len, snr) int16/int32 host batches for the
+    fused on-device example pipeline (trainer.make_train_step).
+
+    Semantics mirror the reference's wav_batch (ref: deepxi/model.py:2256-2290):
+    clean list shuffled per epoch, noise files re-drawn until at least as
+    long as the speech, random noise crop, SNR drawn from the training levels.
+    The random noise *segment* draw happens on device (sig.add_noise).
+    """
+
+    def __init__(self, train_s_list: List[Dict], train_d_list: List[Dict],
+                 mbatch_size: int, snr_levels: List[int], seed: int = 0,
+                 N_s: int = 256, frames_per_bucket: int = 32,
+                 prefetch: int = 4):
+        self.s_list = list(train_s_list)
+        self.d_list = list(train_d_list)
+        self.mbatch_size = mbatch_size
+        self.snr_levels = list(snr_levels)
+        self.rng = np.random.default_rng(seed)
+        self.N_s = N_s
+        self.frames_per_bucket = frames_per_bucket
+        self.prefetch = prefetch
+        self.n_examples = len(self.s_list)
+        self.n_iter = -(-self.n_examples // mbatch_size)
+
+    def _load_batch(self, s_items: List[Dict]) -> Tuple[np.ndarray, ...]:
+        B = len(s_items)
+        max_len = max(it["wav_len"] for it in s_items)
+        L = bucket_length(max_len, self.N_s, self.frames_per_bucket)
+        s = np.zeros((B, L), np.int16)
+        d = np.zeros((B, L), np.int16)
+        s_len = np.zeros(B, np.int32)
+        d_len = np.zeros(B, np.int32)
+        for i, item in enumerate(s_items):
+            wav, _ = read_wav(item["file_path"])
+            n = min(len(wav), L)
+            s[i, :n] = wav[:n]
+            s_len[i] = n
+            # draw a noise file at least as long as the speech
+            # (ref: deepxi/model.py:2280-2283)
+            while True:
+                d_item = self.d_list[self.rng.integers(len(self.d_list))]
+                if d_item["wav_len"] >= n:
+                    break
+            d_wav, _ = read_wav(d_item["file_path"])
+            # random crop to the padded length so the device-side random
+            # offset (sig.add_noise) stays within a static buffer
+            if len(d_wav) > L:
+                off = self.rng.integers(0, len(d_wav) - L + 1)
+                d_wav = d_wav[off:off + L]
+            d[i, :len(d_wav)] = d_wav
+            d_len[i] = min(len(d_wav), L)
+        snr = self.rng.choice(self.snr_levels, B).astype(np.float32)
+        return s, d, s_len, d_len, snr
+
+    def epoch(self, epoch_idx: int) -> Iterator[Tuple[np.ndarray, ...]]:
+        """One epoch of mini-batches, prefetched on a background thread."""
+        order = self.rng.permutation(self.n_examples)
+        # group by length so batches bucket tightly (stable shapes, less pad)
+        items = [self.s_list[i] for i in order]
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def worker():
+            try:
+                for it0 in range(self.n_iter):
+                    chunk = items[it0 * self.mbatch_size:(it0 + 1) * self.mbatch_size]
+                    if not chunk:
+                        break
+                    q.put(self._load_batch(chunk))
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is SENTINEL:
+                break
+            yield b
+        t.join()

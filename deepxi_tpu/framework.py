@@ -1,0 +1,456 @@
+"""Top-level orchestrator: model lifecycle, stats bootstrap, train / infer /
+test drivers (ref: deepxi/model.py class DeepXi).
+
+Everything device-bound is jitted and mesh-aware; the host side only reads
+wavs, pads buckets and writes artifacts. Artifact layout matches the
+reference so its monitoring/eval tooling drops in:
+
+  model/<ver>/epoch-<n>/        checkpoints (orbax; params + optimizer)
+  data/<ver>_stats.npz          map statistics (explicit arrays)
+  data/sample.npz               cached training sample
+  log/loss/<ver>.csv            epoch,loss[,val_loss]
+  log/results/*.csv             per-condition + average objective scores
+  out/<ver>/e<N>/<out_type>/    enhancement outputs
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepxi_tpu import sig
+from deepxi_tpu.config import Config
+from deepxi_tpu.data import (MiniBatchLoader, batch_list, bucket_length,
+                             read_wav, save_wav, test_batch, val_wav_batch)
+from deepxi_tpu.inp_tgt import inp_tgt_selector
+from deepxi_tpu.models import network_selector
+from deepxi_tpu.ops.gains import gfunc
+from deepxi_tpu.parallel import make_mesh, shard_batch, shard_params
+from deepxi_tpu.training import (TrainState, append_loss_csv, make_eval_step,
+                                 make_optimizer, make_train_step,
+                                 restore_checkpoint, save_checkpoint)
+
+
+def _save_mat(path: str, data: np.ndarray, name: str) -> None:
+    """.mat writer (ref: deepxi/utils.py:52-62)."""
+    from scipy.io import savemat
+    if not path.endswith(".mat"):
+        path += ".mat"
+    savemat(path, {name: np.asarray(data)})
+
+
+class DeepXiTPU:
+    """Framework facade (ref: deepxi/model.py:44-111)."""
+
+    def __init__(self, cfg: Config,
+                 train_s_list: Optional[List[Dict]] = None,
+                 train_d_list: Optional[List[Dict]] = None):
+        self.cfg = cfg
+        self.train_s_list = train_s_list
+        self.train_d_list = train_d_list
+
+        self.inp_tgt = inp_tgt_selector(
+            cfg.inp_tgt_type, cfg.N_d, cfg.N_s, cfg.K, cfg.f_s,
+            map_type=cfg.map_type, map_params=cfg.map_params, gain=cfg.gain
+            if isinstance(cfg.gain, str) else cfg.gain[0])
+
+        stats_path = os.path.join(cfg.data_path, f"{cfg.ver}_stats.npz")
+        if os.path.exists(stats_path) and not cfg.reset_inp_tgt:
+            self.inp_tgt = self._load_stats(stats_path)
+        elif self._needs_stats():
+            s, d, x, wl = self.sample(cfg.sample_size)
+            self.inp_tgt = self.inp_tgt.with_stats(s, d, x, wl)
+            self._save_stats(stats_path)
+
+        self.network = network_selector(cfg.network_type, self.inp_tgt.n_outp,
+                                        **cfg.network_kwargs())
+        n_data = cfg.n_data_shards
+        if n_data is None:
+            # data shards must divide the mini-batch; default to the largest
+            # divisor that fits the available devices
+            import math as _math
+            avail = max(len(jax.devices()) // cfg.n_model_shards, 1)
+            n_data = _math.gcd(cfg.mbatch_size, avail)
+        self.mesh = make_mesh(n_data, cfg.n_model_shards)
+
+    # -- statistics ---------------------------------------------------------
+
+    def _needs_stats(self) -> bool:
+        return any(hasattr(self.inp_tgt, m) and getattr(self.inp_tgt, m) is not None
+                   and hasattr(getattr(self.inp_tgt, m), "with_stats")
+                   for m in ("xi_map", "gamma_map", "mag_map", "cd_map", "s_stps_map"))
+
+    def _map_attrs(self) -> List[str]:
+        return [m for m in ("xi_map", "gamma_map", "mag_map", "cd_map", "s_stps_map")
+                if getattr(self.inp_tgt, m, None) is not None]
+
+    def _save_stats(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload: Dict[str, np.ndarray] = {}
+        for m in self._map_attrs():
+            mp = getattr(self.inp_tgt, m)
+            for field in ("mu", "sigma", "b", "min", "max"):
+                v = getattr(mp, field, None)
+                if v is not None:
+                    payload[f"{m}.{field}"] = np.asarray(v)
+        np.savez(path, **payload)
+
+    def _load_stats(self, path: str):
+        data = np.load(path)
+        it = self.inp_tgt
+        for m in self._map_attrs():
+            mp = getattr(it, m)
+            updates = {k.split(".")[1]: jnp.asarray(v) for k, v in data.items()
+                       if k.startswith(m + ".")}
+            if updates:
+                it = it.replace(**{m: mp.replace(**updates)})
+        return it
+
+    def import_reference_stats(self, pickle_path: str) -> None:
+        """Adopt the exact statistics of a reference `<ver>_inp_tgt.p` pickle
+        (ref: deepxi/model.py:90-100) for checkpoint-compatible parity runs."""
+        from deepxi_tpu.compat import load_inp_tgt_stats
+        st = load_inp_tgt_stats(pickle_path)
+        it = self.inp_tgt
+        for m in self._map_attrs():
+            if m in st:
+                mp = getattr(it, m)
+                updates = {k: jnp.asarray(v) for k, v in st[m].items()
+                           if k in ("mu", "sigma", "b", "min", "max")}
+                it = it.replace(**{m: mp.replace(**updates)})
+        self.inp_tgt = it
+
+    def sample(self, sample_size: int):
+        """Training-set sample for map statistics, cached as
+        ``data/sample.npz`` (ref: deepxi/model.py:1904-1951)."""
+        cfg = self.cfg
+        sample_path = os.path.join(cfg.data_path, "sample.npz")
+        if os.path.exists(sample_path) and not cfg.reset_sample:
+            z = np.load(sample_path)
+            return z["s_sample"], z["d_sample"], z["x_sample"], z["wav_len"]
+        if not self.train_s_list:
+            raise ValueError("no sample.npz and no training list to draw from")
+        rng = np.random.default_rng(cfg.seed)
+        idx_s = rng.choice(len(self.train_s_list), sample_size, replace=True)
+        loader = MiniBatchLoader(self.train_s_list, self.train_d_list, 1,
+                                 cfg.snr_levels, seed=cfg.seed)
+        max_len = max(self.train_s_list[i]["wav_len"] for i in idx_s)
+        L = bucket_length(max_len, cfg.N_s)
+        s_s = np.zeros((sample_size, L), np.float32)
+        d_s = np.zeros_like(s_s)
+        x_s = np.zeros_like(s_s)
+        wl = np.zeros(sample_size, np.int32)
+        key = jax.random.PRNGKey(cfg.seed)
+        for j, i in enumerate(idx_s):
+            s, d, s_len, d_len, snr = loader._load_batch([self.train_s_list[i]])
+            key, k2 = jax.random.split(key)
+            s_f, d_f, x_f, _ = self.inp_tgt.mix(
+                k2, jnp.asarray(s), jnp.asarray(d), jnp.asarray(s_len),
+                jnp.asarray(d_len), jnp.asarray(snr))
+            n = int(s_len[0])
+            s_s[j, :n] = np.asarray(s_f)[0, :n]
+            d_s[j, :n] = np.asarray(d_f)[0, :n]
+            x_s[j, :n] = np.asarray(x_f)[0, :n]
+            wl[j] = n
+        os.makedirs(cfg.data_path, exist_ok=True)
+        np.savez(sample_path, s_sample=s_s, d_sample=d_s, x_sample=x_s, wav_len=wl)
+        return s_s, d_s, x_s, wl
+
+    # -- training -----------------------------------------------------------
+
+    def train(self, verbose: bool = True) -> List[float]:
+        """Training driver (ref: deepxi/model.py:113-222). Returns per-epoch
+        mean losses."""
+        cfg = self.cfg
+        model_dir = os.path.join(cfg.model_path, cfg.ver)
+        os.makedirs(model_dir, exist_ok=True)
+
+        tx = make_optimizer(cfg.network_type, cfg.d_model or 256, cfg.warmup_steps)
+        init_inp = jnp.zeros((cfg.mbatch_size, 32, self.inp_tgt.n_feat))
+        params = self.network.init(jax.random.PRNGKey(cfg.seed), init_inp)
+        params = shard_params(self.mesh, params)
+        state = TrainState.create(params, tx)
+
+        if cfg.resume_epoch > 0:
+            state = restore_checkpoint(model_dir, cfg.resume_epoch - 1, state)
+
+        train_step = jax.jit(make_train_step(self.network, self.inp_tgt, tx,
+                                             cfg.loss_fnc), donate_argnums=(0,))
+        loader = MiniBatchLoader(self.train_s_list, self.train_d_list,
+                                 cfg.mbatch_size, cfg.snr_levels, seed=cfg.seed,
+                                 N_s=cfg.N_s)
+
+        val_set = self._build_val_set() if cfg.val_flag else None
+        eval_step = jax.jit(make_eval_step(self.network, self.inp_tgt, cfg.loss_fnc)) \
+            if val_set else None
+
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        losses: List[float] = []
+        for epoch in range(cfg.resume_epoch, cfg.max_epochs):
+            t0 = time.time()
+            ep_loss, n_steps = 0.0, 0
+            for s, d, s_len, d_len, snr in loader.epoch(epoch):
+                key, k2 = jax.random.split(key)
+                batch = shard_batch(self.mesh, (jnp.asarray(s), jnp.asarray(d)))
+                state, metrics = train_step(state, k2, batch[0], batch[1],
+                                            jnp.asarray(s_len), jnp.asarray(d_len),
+                                            jnp.asarray(snr))
+                ep_loss += float(metrics["loss"])
+                n_steps += 1
+            mean_loss = ep_loss / max(n_steps, 1)
+            val_loss = None
+            if val_set:
+                vl, vn = 0.0, 0
+                for inp, tgt, mask in val_set:
+                    vl += float(eval_step(state.params, inp, tgt, mask))
+                    vn += 1
+                val_loss = vl / max(vn, 1)
+            losses.append(mean_loss)
+            append_loss_csv(cfg.log_path, cfg.ver, epoch, mean_loss, val_loss)
+            if cfg.save_model:
+                save_checkpoint(model_dir, epoch, state)
+            if verbose:
+                msg = f"epoch {epoch}: loss {mean_loss:.4f}"
+                if val_loss is not None:
+                    msg += f" val {val_loss:.4f}"
+                print(msg + f" ({time.time() - t0:.1f}s, {n_steps} steps)")
+        self._state = state
+        return losses
+
+    def _build_val_set(self):
+        """Deterministic validation examples from paired files
+        (ref: deepxi/model.py:2190-2230)."""
+        cfg = self.cfg
+        val_s_dir = os.path.join(cfg.set_path, "val_clean_speech")
+        val_d_dir = os.path.join(cfg.set_path, "val_noise")
+        if not os.path.isdir(val_s_dir):
+            return None
+        val_s, val_d, s_len, d_len, snr = val_wav_batch(val_s_dir, val_d_dir)
+        out = []
+        key = jax.random.PRNGKey(0)  # fixed: validation must be deterministic
+        B = cfg.mbatch_size
+        for i in range(0, len(val_s), B):
+            sl = slice(i, i + B)
+            L = bucket_length(int(s_len[sl].max()), cfg.N_s)
+            s = jnp.asarray(val_s[sl, :L])
+            d = jnp.asarray(val_d[sl, :L])
+            inp, tgt, nf = self.inp_tgt.example(key, s, d, jnp.asarray(s_len[sl]),
+                                                jnp.asarray(d_len[sl]),
+                                                jnp.asarray(snr[sl], jnp.float32))
+            T = inp.shape[1]
+            mask = (jnp.arange(T)[None] < nf[:, None]).astype(jnp.float32)
+            out.append((inp, tgt, mask))
+        return out
+
+    # -- inference ----------------------------------------------------------
+
+    def load_epoch(self, epoch: int):
+        """Parameters of a saved epoch (1-indexed like the reference's
+        test_epoch, ref: deepxi/model.py:279-280)."""
+        cfg = self.cfg
+        model_dir = os.path.join(cfg.model_path, cfg.ver)
+        tx = make_optimizer(cfg.network_type, cfg.d_model or 256, cfg.warmup_steps)
+        init_inp = jnp.zeros((1, 32, self.inp_tgt.n_feat))
+        params = self.network.init(jax.random.PRNGKey(0), init_inp)
+        state = TrainState.create(params, tx)
+        state = restore_checkpoint(model_dir, epoch - 1, state)
+        return state.params
+
+    def _observe(self, wav: np.ndarray, length: int):
+        L = bucket_length(length, self.cfg.N_s)
+        w = np.zeros(L, np.int16)
+        w[:length] = wav[:length]
+        inp, sup = self.inp_tgt.observation(jnp.asarray(w))
+        return inp, sup, self.inp_tgt.n_frames(length)
+
+    def infer(self, params=None, test_x_path: Optional[str] = None,
+              out_type: Optional[str] = None,
+              gains: Optional[Sequence[str]] = None,
+              epochs: Optional[Sequence[int]] = None) -> List[str]:
+        """Inference driver with all output types (ref: deepxi/model.py:224-332).
+        Returns the list of written artifact paths."""
+        cfg = self.cfg
+        out_type = out_type or cfg.out_type
+        gains = list(gains) if gains else (
+            cfg.gain if isinstance(cfg.gain, list) else [cfg.gain])
+        epochs = list(epochs) if epochs else (
+            cfg.test_epoch if isinstance(cfg.test_epoch, list) else [cfg.test_epoch])
+        x_batch, x_lens, _, names = test_batch(test_x_path or cfg.test_x_path)
+
+        mel_bank = None
+        if out_type == "subband_ibm_hat":
+            mel_bank = sig.mel_filter_bank(cfg.n_filters, cfg.K, cfg.f_s)
+
+        apply_fn = jax.jit(self.network.apply)
+        written: List[str] = []
+        for e in epochs:
+            if e < 1:
+                raise ValueError("test_epoch must be greater than 0")
+            p = params if params is not None else self.load_epoch(e)
+            for g in gains:
+                out_dir = os.path.join(cfg.out_path, cfg.ver, f"e{e}")
+                if out_type == "y":
+                    sub = "y" if cfg.inp_tgt_type in ("MagGain", "MagMag") \
+                        else os.path.join("y", g)
+                else:
+                    sub = out_type
+                out_dir = os.path.join(out_dir, sub)
+                os.makedirs(out_dir, exist_ok=True)
+
+                for i, name in enumerate(names):
+                    inp, sup, n_frames = self._observe(x_batch[i], int(x_lens[i]))
+                    tgt_hat = apply_fn(p, inp[None])[0]
+                    inp_v, sup_v, tgt_v = inp[:n_frames], sup[:n_frames], tgt_hat[:n_frames]
+                    path = self._write_output(out_dir, name, out_type, g,
+                                              inp_v, sup_v, tgt_v, mel_bank)
+                    written.append(path)
+        return written
+
+    def _write_output(self, out_dir, name, out_type, g, inp, sup, tgt_hat,
+                      mel_bank) -> str:
+        """One utterance's output artifact (ref: deepxi/model.py:290-332)."""
+        cfg = self.cfg
+        it = self.inp_tgt
+        if out_type == "y":
+            if cfg.saved_data_path is not None and cfg.inp_tgt_type == "MagGamma":
+                from scipy.io import loadmat
+                xi_hat = loadmat(os.path.join(cfg.saved_data_path, name + ".mat"))["xi_hat"]
+                y = it.enhanced_speech(inp, sup, tgt_hat, g, xi_hat=jnp.asarray(xi_hat))
+            else:
+                y = it.enhanced_speech(inp, sup, tgt_hat, g)
+            path = os.path.join(out_dir, name + ".wav")
+            save_wav(path, np.asarray(y), cfg.f_s)
+            return path
+        if out_type == "xi_hat":
+            data, key = np.asarray(it.xi_hat(tgt_hat)), "xi_hat"
+        elif out_type == "gamma_hat":
+            data, key = np.asarray(it.gamma_hat(tgt_hat)), "gamma_hat"
+        elif out_type == "mag_hat":
+            data, key = np.asarray(it.mag_hat(tgt_hat)), "mag_hat"
+        elif out_type == "deepmmse":
+            xi_hat = it.xi_hat(tgt_hat)
+            data = np.asarray(jnp.square(inp) * gfunc(xi_hat, xi_hat + 1.0, "deepmmse"))
+            key = "d_psd_hat"
+        elif out_type == "ibm_hat":
+            data = (np.asarray(it.xi_hat(tgt_hat)) > 1.0).astype(bool)
+            key = "ibm_hat"
+        elif out_type == "subband_ibm_hat":
+            xi_sub = np.asarray(it.xi_hat(tgt_hat)) @ mel_bank.T
+            data, key = (xi_sub > 1.0).astype(bool), "subband_ibm_hat"
+        elif out_type == "cd_hat":
+            data, key = np.asarray(it.cd_hat(tgt_hat)), "cd_hat"
+        else:
+            raise ValueError(f"Invalid output type: {out_type!r}")
+        path = os.path.join(out_dir, name + ".mat")
+        _save_mat(path, data, key)
+        return path
+
+    # -- objective testing --------------------------------------------------
+
+    def test(self, params=None, epochs: Optional[Sequence[int]] = None,
+             gains: Optional[Sequence[str]] = None) -> Dict:
+        """Objective evaluation driver (ref: deepxi/model.py:1784-1902):
+        enhance every test utterance, score vs the matching clean reference,
+        write per-condition and running-average CSVs in the reference's
+        format."""
+        from deepxi_tpu.metrics import stoi as stoi_fn
+
+        cfg = self.cfg
+        gains = list(gains) if gains else (
+            cfg.gain if isinstance(cfg.gain, list) else [cfg.gain])
+        epochs = list(epochs) if epochs else (
+            cfg.test_epoch if isinstance(cfg.test_epoch, list) else [cfg.test_epoch])
+
+        x_batch, x_lens, _, x_names = test_batch(cfg.test_x_path)
+        s_batch, s_lens, _, s_names = test_batch(cfg.test_s_path)
+
+        try:
+            from deepxi_tpu.metrics.pesq import pesq as pesq_fn
+        except Exception:
+            pesq_fn = None
+
+        apply_fn = jax.jit(self.network.apply)
+        all_results = {}
+        for e in epochs:
+            p = params if params is not None else self.load_epoch(e)
+            for g in gains:
+                results: Dict[Tuple, List[float]] = {}
+                for i, name in enumerate(x_names):
+                    inp, sup, n_frames = self._observe(x_batch[i], int(x_lens[i]))
+                    tgt_hat = apply_fn(p, inp[None])[0]
+                    y = np.asarray(self.inp_tgt.enhanced_speech(
+                        inp[:n_frames], sup[:n_frames], tgt_hat[:n_frames], g))
+
+                    ref_idx = next(j for j, b in enumerate(s_names) if b in name)
+                    s = s_batch[ref_idx, :s_lens[ref_idx]].astype(np.float32) / 32768.0
+                    y = y[: len(s)]
+
+                    # condition parsing "<clean>_<noise>_<snr>dB"
+                    # (ref: deepxi/model.py:1849-1852)
+                    try:
+                        noise_src = name.split("_")[-2]
+                    except IndexError:
+                        noise_src = "Null"
+                    snr_level = 0 if noise_src == "Null" else int(name.split("_")[-1][:-2])
+
+                    def add(metric, value):
+                        results.setdefault((noise_src, snr_level, metric), []).append(value)
+
+                    try:
+                        add("STOI", 100.0 * stoi_fn(s, y, cfg.f_s, extended=False))
+                        add("eSTOI", 100.0 * stoi_fn(s, y, cfg.f_s, extended=True))
+                    except ValueError as err:  # utterance too short for STOI
+                        print(f"STOI skipped for {name}: {err}")
+                    if pesq_fn is not None:
+                        add("PESQ", pesq_fn(s, y, cfg.f_s, mode="nb"))
+                        add("MOS-LQO", pesq_fn(s, y, cfg.f_s, mode="wb"))
+
+                self._write_results(results, e, g)
+                all_results[(e, g)] = results
+        return all_results
+
+    def _write_results(self, results, e: int, g: str) -> None:
+        """CSV outputs in the reference's exact format
+        (ref: deepxi/model.py:1869-1902)."""
+        cfg = self.cfg
+        res_dir = os.path.join(cfg.log_path, "results")
+        os.makedirs(res_dir, exist_ok=True)
+        noise_srcs = sorted({k[0] for k in results})
+        snr_levels = sorted({k[1] for k in results})
+        metrics = sorted({k[2] for k in results})
+
+        with open(os.path.join(res_dir, f"{cfg.ver}_e{e}_{g}.csv"), "w") as f:
+            f.write("noise,snr_db")
+            for m in metrics:
+                f.write("," + m)
+            f.write("\n")
+            for ns in noise_srcs:
+                for sl in snr_levels:
+                    f.write(f"{ns},{sl}")
+                    for m in metrics:
+                        if (ns, sl, m) in results:
+                            f.write(",{:.2f}".format(np.mean(results[(ns, sl, m)])))
+                    f.write("\n")
+
+        avg: Dict[str, List[float]] = {}
+        for (ns, sl, m), v in results.items():
+            if cfg.min_snr <= sl <= cfg.max_snr:
+                avg.setdefault(m, []).extend(v)
+        avg_path = os.path.join(res_dir, "average.csv")
+        if not os.path.exists(avg_path):
+            with open(avg_path, "w") as f:
+                f.write("ver")
+                for m in metrics:
+                    f.write("," + m)
+                f.write("\n")
+        with open(avg_path, "a") as f:
+            f.write(f"{cfg.ver}_e{e}_{g}")
+            for m in metrics:
+                if m in avg:
+                    f.write(",{:.2f}".format(np.mean(avg[m])))
+            f.write("\n")

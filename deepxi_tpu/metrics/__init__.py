@@ -1,0 +1,6 @@
+"""L7 objective evaluation (ref: deepxi/model.py:1814-1861 + MATLAB suite)."""
+
+from deepxi_tpu.metrics.quality import composite, llr, seg_snr, snr_overall, wss
+from deepxi_tpu.metrics.stoi import stoi
+
+__all__ = ["composite", "llr", "seg_snr", "snr_overall", "stoi", "wss"]

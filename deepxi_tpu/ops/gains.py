@@ -18,6 +18,13 @@ from deepxi_tpu.ops.special import exp1
 
 _GAIN_FNS = {}
 
+# Upper clamp for SNR inputs: a saturated sigmoid target (xi_bar = 1.0)
+# inverts to xi = +inf through erfinv, which would give inf/inf = NaN in the
+# Wiener-family gains (the reference NaNs identically there,
+# ref: deepxi/gain.py:81). Clamping at 1e12 leaves the gain within 1e-12 of
+# 1.0 while keeping the pipeline NaN-free.
+XI_MAX = 1e12
+
 
 def _register(name):
     def deco(fn):
@@ -29,6 +36,7 @@ def _register(name):
 @_register("wf")
 def wf(xi, gamma=None):
     """Wiener filter gain xi / (xi + 1) (ref: deepxi/gain.py:71-81)."""
+    xi = jnp.minimum(xi, XI_MAX)
     return xi / (xi + 1.0)
 
 
@@ -61,8 +69,8 @@ def mmse_stsa(xi, gamma):
     """MMSE short-time spectral amplitude estimator (Ephraim-Malah), with the
     reference's Wiener fallback where the Bessel terms overflow
     (ref: deepxi/gain.py:13-45)."""
-    xi = jnp.maximum(xi, 1e-12)
-    gamma = jnp.maximum(gamma, 1e-12)
+    xi = jnp.clip(xi, 1e-12, XI_MAX)
+    gamma = jnp.clip(gamma, 1e-12, XI_MAX)
     nu = xi * (gamma / (1.0 + xi))
     G = ((math.sqrt(math.pi) / 2.0)
          * (jnp.sqrt(nu) / gamma)
@@ -76,8 +84,8 @@ def mmse_stsa(xi, gamma):
 def mmse_lsa(xi, gamma):
     """MMSE log-spectral amplitude estimator (ref: deepxi/gain.py:47-69),
     with exp1 evaluated on device (deepxi_tpu.ops.special.exp1)."""
-    xi = jnp.maximum(xi, 1e-12)
-    gamma = jnp.maximum(gamma, 1e-12)
+    xi = jnp.clip(xi, 1e-12, XI_MAX)
+    gamma = jnp.clip(gamma, 1e-12, XI_MAX)
     v = xi / (1.0 + xi)
     nu = v * gamma
     return v * jnp.exp(0.5 * exp1(nu))
@@ -87,6 +95,8 @@ def mmse_lsa(xi, gamma):
 def deepmmse(xi, gamma):
     """MMSE noise-periodogram gain 1/(1+xi) + xi/(gamma(1+xi))
     (ref: deepxi/gain.py:154-166)."""
+    xi = jnp.minimum(xi, XI_MAX)
+    gamma = jnp.minimum(gamma, XI_MAX)
     return 1.0 / (1.0 + xi) + xi / (gamma * (1.0 + xi))
 
 

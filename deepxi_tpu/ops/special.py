@@ -33,10 +33,13 @@ def exp1(x: jnp.ndarray) -> jnp.ndarray:
     small = (-jnp.log(xs) + a0
              + xs * (a1 + xs * (a2 + xs * (a3 + xs * (a4 + xs * a5)))))
 
-    # Branch 2: rational approximation for x >= 1.
-    xl = jnp.maximum(x, 1.0)  # keep the large-branch math in range
-    num = (((xl + _E1_NUM[3]) * xl + _E1_NUM[2]) * xl + _E1_NUM[1]) * xl + _E1_NUM[0]
-    den = (((xl + _E1_DEN[3]) * xl + _E1_DEN[2]) * xl + _E1_DEN[1]) * xl + _E1_DEN[0]
-    large = jnp.exp(-xl) / xl * (num / den)
+    # Branch 2: rational approximation for x >= 1, evaluated in reciprocal
+    # powers so x -> inf gives exp1 -> 0 cleanly (no inf/inf; the saturated
+    # sigmoid -> erfinv(1) = inf -> xi_hat = inf path reaches here).
+    xl = jnp.maximum(x, 1.0)
+    r = 1.0 / xl
+    num = 1.0 + r * (_E1_NUM[3] + r * (_E1_NUM[2] + r * (_E1_NUM[1] + r * _E1_NUM[0])))
+    den = 1.0 + r * (_E1_DEN[3] + r * (_E1_DEN[2] + r * (_E1_DEN[1] + r * _E1_DEN[0])))
+    large = jnp.exp(-xl) * r * (num / den)
 
     return jnp.where(x <= 1.0, small, large)

@@ -1,0 +1,163 @@
+"""End-to-end framework integration: tiny dataset -> train -> resume ->
+infer (all out_types) -> objective test, through the public CLI/config
+surface (the rebuild of ref: main.py's dispatch)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from deepxi_tpu.cli import config_from_args
+from deepxi_tpu.config import Config, preset
+from deepxi_tpu.data import save_wav
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    """Tiny synthetic corpus in the reference's on-disk layout
+    (ref: main.py:29-32, set/info.txt)."""
+    root = tmp_path_factory.mktemp("ws")
+    set_path = root / "set"
+    rng = np.random.RandomState(0)
+    fs = 16000
+
+    def tone(n, f, seed):
+        t = np.arange(n) / fs
+        sig = 0.3 * np.sin(2 * np.pi * f * t) * (np.sin(2 * np.pi * 2 * t) > 0)
+        return (sig * 20000).astype(np.int16)
+
+    for i in range(6):
+        save_wav(str(set_path / "train_clean_speech" / f"sp{i:02d}.wav"),
+                 tone(8000 + 1000 * i, 200 + 40 * i, i), fs)
+        save_wav(str(set_path / "train_noise" / f"n{i:02d}.wav"),
+                 (rng.randn(24000) * 2000).astype(np.int16), fs)
+    for i in range(2):
+        s = tone(8000, 300, 10 + i)
+        d = (rng.randn(8000) * 2000).astype(np.int16)
+        save_wav(str(set_path / "val_clean_speech" / f"v{i}_5dB.wav"), s, fs)
+        save_wav(str(set_path / "val_noise" / f"v{i}_5dB.wav"), d, fs)
+    # test set: "<clean>_<noise>_<snr>dB" naming (ref: deepxi/model.py:1849-1852)
+    for i in range(2):
+        s = tone(24000, 250, 20 + i)
+        d = (rng.randn(24000) * 2000).astype(np.int16)
+        x = (s.astype(np.int32) + d.astype(np.int32)).clip(-32768, 32767).astype(np.int16)
+        save_wav(str(set_path / "test_clean_speech" / f"c{i}.wav"), s, fs)
+        save_wav(str(set_path / "test_noisy_speech" / f"c{i}_white_5dB.wav"), x, fs)
+    return root
+
+
+def tiny_cfg(root, **kw) -> Config:
+    base = dict(
+        ver="tiny", network_type="ResNetV2", inp_tgt_type="MagXi",
+        map_type="DBNormalCDF", d_model=32, n_blocks=2, d_f=16, k=3,
+        max_d_rate=2, causal=True, unit_type="ReLU->LN->W+b",
+        outp_act="Sigmoid", mbatch_size=2, sample_size=4, max_epochs=1,
+        test_epoch=1, min_snr=0, max_snr=10, snr_inter=5,
+        set_path=str(root / "set"), data_path=str(root / "data"),
+        model_path=str(root / "model"), log_path=str(root / "log"),
+        out_path=str(root / "out"),
+        test_x_path=str(root / "set" / "test_noisy_speech"),
+        test_s_path=str(root / "set" / "test_clean_speech"),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def trained(dataset):
+    from deepxi_tpu.data import batch_list
+    from deepxi_tpu.framework import DeepXiTPU
+
+    cfg = tiny_cfg(dataset)
+    s_list = batch_list(os.path.join(cfg.set_path, "train_clean_speech"),
+                        "clean_speech", cfg.data_path)
+    d_list = batch_list(os.path.join(cfg.set_path, "train_noise"),
+                        "noise", cfg.data_path)
+    dx = DeepXiTPU(cfg, s_list, d_list)
+    losses = dx.train(verbose=False)
+    return dataset, dx, losses
+
+
+class TestTrain:
+    def test_losses_finite_and_logged(self, trained):
+        root, dx, losses = trained
+        assert len(losses) == 1 and np.isfinite(losses).all()
+        csv = os.path.join(dx.cfg.log_path, "loss", "tiny.csv")
+        assert os.path.exists(csv)
+        assert open(csv).readline().startswith("epoch,loss")
+
+    def test_checkpoint_written_and_stats_cached(self, trained):
+        root, dx, _ = trained
+        assert os.path.isdir(os.path.join(dx.cfg.model_path, "tiny", "epoch-0"))
+        assert os.path.exists(os.path.join(dx.cfg.data_path, "tiny_stats.npz"))
+        assert os.path.exists(os.path.join(dx.cfg.data_path, "sample.npz"))
+
+    def test_resume(self, trained):
+        from deepxi_tpu.data import batch_list
+        from deepxi_tpu.framework import DeepXiTPU
+        root, dx0, _ = trained
+        cfg = tiny_cfg(root, max_epochs=2, resume_epoch=1)
+        s_list = batch_list(os.path.join(cfg.set_path, "train_clean_speech"),
+                            "clean_speech", cfg.data_path)
+        d_list = batch_list(os.path.join(cfg.set_path, "train_noise"),
+                            "noise", cfg.data_path)
+        dx = DeepXiTPU(cfg, s_list, d_list)
+        losses = dx.train(verbose=False)
+        assert len(losses) == 1
+        assert os.path.isdir(os.path.join(cfg.model_path, "tiny", "epoch-1"))
+
+
+class TestInfer:
+    @pytest.mark.parametrize("out_type,ext", [
+        ("y", ".wav"), ("xi_hat", ".mat"), ("gamma_hat", ".mat"),
+        ("deepmmse", ".mat"), ("ibm_hat", ".mat"), ("subband_ibm_hat", ".mat"),
+    ])
+    def test_out_types(self, trained, out_type, ext):
+        root, dx, _ = trained
+        written = dx.infer(out_type=out_type, epochs=[1], gains=["mmse-lsa"])
+        assert len(written) == 2
+        for p in written:
+            assert p.endswith(ext) and os.path.exists(p)
+        if out_type == "y":
+            from deepxi_tpu.data import read_wav
+            w, _ = read_wav(written[0])
+            assert len(w) > 8000 and np.abs(w).max() > 0
+
+    def test_gain_variants(self, trained):
+        root, dx, _ = trained
+        for g in ["mmse-stsa", "srwf", "ibm"]:
+            written = dx.infer(out_type="y", epochs=[1], gains=[g])
+            assert all(os.path.exists(p) for p in written)
+
+
+class TestObjective:
+    def test_test_writes_csvs(self, trained):
+        root, dx, _ = trained
+        results = dx.test(epochs=[1], gains=["mmse-lsa"])
+        res_dir = os.path.join(dx.cfg.log_path, "results")
+        assert os.path.exists(os.path.join(res_dir, "tiny_e1_mmse-lsa.csv"))
+        assert os.path.exists(os.path.join(res_dir, "average.csv"))
+        rows = open(os.path.join(res_dir, "tiny_e1_mmse-lsa.csv")).read().strip().split("\n")
+        assert rows[0].startswith("noise,snr_db")
+        assert any("white,5" in r for r in rows[1:])
+
+
+class TestCLIConfig:
+    def test_preset_and_overrides(self):
+        cfg = config_from_args(["--ver", "resnet-1.1c", "--train", "1",
+                                "--max_epochs", "3"])
+        assert cfg.network_type == "ResNetV2" and cfg.max_epochs == 3
+        assert cfg.train and not cfg.infer
+        assert cfg.N_d == 512 and cfg.N_s == 256 and cfg.K == 512
+
+    def test_vb_preset(self):
+        cfg = preset("resnet-1.1c-vb")
+        assert cfg.min_snr == 0 and cfg.max_snr == 15 and cfg.snr_inter == 5
+        assert cfg.val_flag is False and cfg.test_epoch == 125
+
+    def test_map_params_dsl(self):
+        cfg = config_from_args(["--ver", "x", "--map_type", "DBNormalCDF,Linear",
+                                "--map_params", "neg_40,40;1,2"])
+        assert cfg.map_type == ["DBNormalCDF", "Linear"]
+        assert cfg.map_params == [[-40, 40], [1, 2]]
