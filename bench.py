@@ -46,11 +46,8 @@ def main():
     params = net.init(jax.random.PRNGKey(0),
                       jnp.zeros((B, n_samples // N_s, 257)))
 
-    @jax.jit
-    def enhance(params, x_int16):
-        x_STMS, x_STPS = it.observation(x_int16)
-        xi_bar_hat = net.apply(params, x_STMS)
-        return it.enhanced_speech(x_STMS, x_STPS, xi_bar_hat, "mmse-lsa")
+    from deepxi_tpu.enhance import make_enhancer
+    enhance = make_enhancer(it, net, "mmse-lsa")
 
     x_dev = jax.device_put(jnp.asarray(x_wav))
     # warmup / compile

@@ -79,6 +79,12 @@ def frame(x: jnp.ndarray, N_d: int, N_s: int, pad_end: bool = True) -> jnp.ndarr
         x = jnp.pad(x, pads)
     else:
         T = 1 + (n - N_d) // N_s
+    if N_d == 2 * N_s:
+        # Deep Xi's 50%-overlap case: frame i is rows (i, i+1) of the
+        # [T+1, N_s] reshape -- a slice+concat instead of a large gather
+        # (measurably faster on TPU, where gathers serialize).
+        x2 = x[..., : (T + 1) * N_s].reshape(x.shape[:-1] + (T + 1, N_s))
+        return jnp.concatenate([x2[..., :T, :], x2[..., 1:T + 1, :]], axis=-1)
     idx = np.arange(T)[:, None] * N_s + np.arange(N_d)[None, :]
     return x[..., idx]
 
@@ -133,7 +139,16 @@ def overlap_and_add(frames: jnp.ndarray, N_s: int) -> jnp.ndarray:
     """
     T, N_d = frames.shape[-2], frames.shape[-1]
     out_len = (T - 1) * N_s + N_d
-    # Scatter-add each frame at its hop offset. Static shapes throughout.
+    if N_d == 2 * N_s:
+        # 50%-overlap case: out row i = first_half[i] + second_half[i-1];
+        # pure shift-and-add, no scatter (TPU scatters serialize badly).
+        h1 = frames[..., :N_s]
+        h2 = frames[..., N_s:]
+        zrow = [(0, 0)] * (frames.ndim - 2)
+        h1 = jnp.pad(h1, zrow + [(0, 1), (0, 0)])
+        h2 = jnp.pad(h2, zrow + [(1, 0), (0, 0)])
+        return (h1 + h2).reshape(frames.shape[:-2] + (out_len,))
+    # General hop: scatter-add each frame at its offset. Static shapes.
     idx = (np.arange(T)[:, None] * N_s + np.arange(N_d)[None, :]).reshape(-1)
     flat = frames.reshape(frames.shape[:-2] + (T * N_d,))
 
