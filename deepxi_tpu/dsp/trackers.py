@@ -1,0 +1,228 @@
+"""Minima-controlled noise-PSD trackers (MCRA, MCRA-2, IMCRA) and the OM-LSA
+gain rule (ref: bak/multiphase.py:85-261 -- the only surviving copy of the
+fork's `mcra.mcra123` module).
+
+The reference runs these as frame-sequential host loops with per-frame
+Python method calls (ref: deepxi/inp_tgt.py:1044-1057). Here each tracker is
+a single `lax.scan` over the [T, F] periodogram -- one fused XLA while-loop
+on device, O(T) with all F bins vectorised.
+
+Algorithms: Cohen & Berdugo, "Noise estimation by minima controlled
+recursive averaging for robust speech enhancement" (2002); Cohen, "Noise
+spectrum estimation in adverse environments: improved minima controlled
+recursive averaging" (2003); OM-LSA gain G^p * G_min^(1-p).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepxi_tpu.ops.gains import mmse_lsa
+
+_ALPHA_SNR = 0.92  # decision-directed smoothing (ref: bak/multiphase.py:110)
+
+
+def _freq_smooth(p: jnp.ndarray) -> jnp.ndarray:
+    """Hanning(7)-banded frequency smoothing, edge-truncated like the
+    reference's banded matrix (ref: bak/multiphase.py:96-99)."""
+    a = np.hanning(7)
+
+    def shift(x, k):
+        if k > 0:
+            return jnp.concatenate([jnp.zeros_like(x[..., :k]), x[..., :-k]], -1)
+        if k < 0:
+            return jnp.concatenate([x[..., -k:], jnp.zeros_like(x[..., :(-k)])], -1)
+        return x
+
+    return (a[3] * p + a[2] * shift(p, 1) + a[4] * shift(p, -1)
+            + a[1] * shift(p, 2) + a[5] * shift(p, -2))
+
+
+class MCRAParams(NamedTuple):
+    """Defaults follow the fork's usage (ref: deepxi/inp_tgt.py:1046-1047)."""
+    alpha_d: float = 0.95
+    alpha_s: float = 0.8
+    alpha_p: float = 0.2
+    frame_L: int = 100
+    delta: float = 5.0
+    g_min: float = 0.09
+    # MCRA-2 extras (ref: bak/multiphase.py:168-192)
+    gamma: float = 0.998
+    beta: float = 0.96
+    # IMCRA extras (ref: bak/multiphase.py:196-261)
+    b_min: float = 1.66
+    gamma0: float = 4.6
+    gamma1: float = 3.0
+    zeta0: float = 1.67
+
+
+def _init_common(pwr0: jnp.ndarray):
+    S0 = _freq_smooth(pwr0)
+    return dict(
+        lambda_d=pwr0,
+        S=S0, S_tmp=S0, S_min=S0,
+        speech_present=jnp.zeros_like(pwr0),
+        snr_gamma=jnp.full_like(pwr0, 0.1),
+        snr_xi=jnp.full_like(pwr0, 0.1),
+    )
+
+
+def _dd_snr(state, pwr):
+    """Decision-directed SNR update (ref: bak/multiphase.py:114-118)."""
+    G_h = mmse_lsa(state["snr_xi"], state["snr_gamma"])
+    gamma_prev = state["snr_gamma"]
+    snr_gamma = pwr / state["lambda_d"]
+    snr_xi = (_ALPHA_SNR * jnp.square(G_h) * gamma_prev
+              + (1.0 - _ALPHA_SNR) * jnp.maximum(snr_gamma - 1.0, 0.0))
+    return snr_gamma, snr_xi
+
+
+def _finish(state, pwr, p, params):
+    """Shared tail: soft presence, adaptive alpha, noise update, gain
+    (ref: bak/multiphase.py:134-156)."""
+    sp = params.alpha_p * state["speech_present"] + (1.0 - params.alpha_p) * p
+    alpha_D = params.alpha_d + (1.0 - params.alpha_d) * sp
+    lambda_d = alpha_D * state["lambda_d"] + (1.0 - alpha_D) * pwr
+    G_h = mmse_lsa(state["snr_xi"], state["snr_gamma"])
+    return sp, lambda_d, G_h
+
+
+def mcra_track(pwr: jnp.ndarray, params: MCRAParams = MCRAParams()
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """MCRA noise tracking over a [T, F] periodogram.
+
+    Returns (lambda_d, G, p): per-frame noise PSD estimate, MMSE-LSA gain and
+    speech-presence probability, each [T, F]
+    (ref: bak/multiphase.py:148-156)."""
+    state = _init_common(pwr[0])
+
+    def step(state, inp):
+        t, pw = inp
+        snr_gamma, snr_xi = _dd_snr(state, pw)
+        state = dict(state, snr_gamma=snr_gamma, snr_xi=snr_xi)
+        S = params.alpha_s * state["S"] + (1 - params.alpha_s) * _freq_smooth(pw)
+        win_reset = (t % params.frame_L) == 0
+        S_min = jnp.where(win_reset, jnp.minimum(S, state["S_tmp"]),
+                          jnp.minimum(S, state["S_min"]))
+        S_tmp = jnp.where(win_reset, S, jnp.minimum(S, state["S_tmp"]))
+        p = (S / S_min > params.delta).astype(pw.dtype)
+        sp, lambda_d, G_h = _finish(state, pw, p, params)
+        new = dict(lambda_d=lambda_d, S=S, S_tmp=S_tmp, S_min=S_min,
+                   speech_present=sp, snr_gamma=snr_gamma, snr_xi=snr_xi)
+        return new, (lambda_d, G_h, sp)
+
+    T = pwr.shape[0]
+    _, (ld, G, p) = jax.lax.scan(step, state, (jnp.arange(T), pwr))
+    return ld, G, p
+
+
+def mcra2_track(pwr: jnp.ndarray, params: MCRAParams = MCRAParams()
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """MCRA-2: continuous minimum tracking instead of the windowed minimum
+    (ref: bak/multiphase.py:168-192)."""
+    state = _init_common(pwr[0])
+    state["S_prev"] = state["S"]
+
+    def step(state, pw):
+        snr_gamma, snr_xi = _dd_snr(state, pw)
+        state = dict(state, snr_gamma=snr_gamma, snr_xi=snr_xi)
+        S_prev = state["S"]
+        S = params.alpha_s * state["S"] + (1 - params.alpha_s) * _freq_smooth(pw)
+        rising = state["S_min"] < S
+        cont = (params.gamma * state["S_min"]
+                + (1 - params.gamma) * (S - params.beta * S_prev) / (1 - params.beta))
+        S_min = jnp.where(rising, cont, S)
+        p = (S / S_min > params.delta).astype(pw.dtype)
+        sp, lambda_d, G_h = _finish(state, pw, p, params)
+        new = dict(lambda_d=lambda_d, S=S, S_tmp=state["S_tmp"], S_min=S_min,
+                   S_prev=S_prev, speech_present=sp, snr_gamma=snr_gamma,
+                   snr_xi=snr_xi)
+        return new, (lambda_d, G_h, sp)
+
+    _, (ld, G, p) = jax.lax.scan(step, state, pwr)
+    return ld, G, p
+
+
+def imcra_track(pwr: jnp.ndarray, params: MCRAParams = MCRAParams(
+        alpha_d=0.89, frame_L=100)) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """IMCRA: two-iteration smoothing with a-priori-SNR-driven soft speech
+    presence (ref: bak/multiphase.py:196-261)."""
+    state = _init_common(pwr[0])
+    state.update(S_hat=state["S"], S_min_hat=state["S_min"],
+                 S_tmp_hat=state["S_tmp"])
+    alpha_s_hat = params.alpha_s * 1.2
+    frame_L_hat = max(int(params.frame_L * 0.5), 1)
+
+    def step(state, inp):
+        t, pw = inp
+        snr_gamma, snr_xi = _dd_snr(state, pw)
+        state = dict(state, snr_gamma=snr_gamma, snr_xi=snr_xi)
+        # first iteration: standard smoothed minimum
+        S = params.alpha_s * state["S"] + (1 - params.alpha_s) * _freq_smooth(pw)
+        win_reset = (t % params.frame_L) == 0
+        S_min = jnp.where(win_reset, jnp.minimum(S, state["S_tmp"]),
+                          jnp.minimum(S, state["S_min"]))
+        S_tmp = jnp.where(win_reset, S, jnp.minimum(S, state["S_tmp"]))
+        # second iteration: smoothing restricted to noise-dominated bins
+        gamma_min = pw / (params.b_min * S_min)
+        zeta = S / (params.b_min * S_min)
+        I = ((gamma_min < params.gamma0) & (zeta < params.zeta0)).astype(pw.dtype)
+        win_I = _freq_smooth(I)
+        no_vote = (win_I == 0).astype(pw.dtype)
+        # Cohen (2003): smoothing over noise-dominated bins only; bins with
+        # no votes keep their previous second-iteration value. (The fork's
+        # surviving copy degenerates this to pw -- a catalogued defect.)
+        S_f = (_freq_smooth(I * pw) / jnp.where(win_I == 0, 1.0, win_I)
+               ) * (1 - no_vote) + state["S_hat"] * no_vote
+        S_hat = alpha_s_hat * state["S_hat"] + (1 - alpha_s_hat) * S_f
+        win_reset_hat = (t % frame_L_hat) == 0
+        S_min_hat = jnp.where(win_reset_hat, jnp.minimum(S_hat, state["S_tmp_hat"]),
+                              jnp.minimum(S_hat, state["S_min_hat"]))
+        S_tmp_hat = jnp.where(win_reset_hat, S_hat,
+                              jnp.minimum(S_hat, state["S_tmp_hat"]))
+        # soft speech-presence probability (ref: bak/multiphase.py:236-249)
+        gamma_min_hat = pw / (params.b_min * S_min_hat)
+        zeta_hat = S_hat / (params.b_min * S_min_hat)
+        a = ((gamma_min_hat < 1.0) & (zeta_hat < params.zeta0)).astype(pw.dtype)
+        b = ((zeta_hat < params.zeta0) & (gamma_min_hat < params.gamma1)
+             & (gamma_min_hat > 1.0)).astype(pw.dtype)
+        q = a + b * (params.gamma1 - gamma_min_hat) / (params.gamma1 - 1.0)
+        v = snr_xi * snr_gamma / jnp.maximum(1.0 + snr_xi, 1e-16)
+        one_minus_q = jnp.maximum(1.0 - q, 1e-16)
+        sp_recip = 1.0 + q * (1.0 + snr_xi) * jnp.exp(-v) / one_minus_q
+        p = 1.0 / jnp.maximum(sp_recip, 1e-16)
+        # noise update with soft presence (no alpha_p smoothing in IMCRA)
+        alpha_D = params.alpha_d + (1.0 - params.alpha_d) * p
+        lambda_d = alpha_D * state["lambda_d"] + (1.0 - alpha_D) * pw
+        G_h = mmse_lsa(snr_xi, snr_gamma)
+        new = dict(lambda_d=lambda_d, S=S, S_tmp=S_tmp, S_min=S_min,
+                   S_hat=S_hat, S_min_hat=S_min_hat, S_tmp_hat=S_tmp_hat,
+                   speech_present=p, snr_gamma=snr_gamma, snr_xi=snr_xi)
+        return new, (lambda_d, G_h, p)
+
+    T = pwr.shape[0]
+    _, (ld, G, p) = jax.lax.scan(step, state, (jnp.arange(T), pwr))
+    return ld, G, p
+
+
+_TRACKERS = {"mcra": mcra_track, "mcra2": mcra2_track, "imcra": imcra_track}
+
+
+def omlsa_enhance(mag: jnp.ndarray, params: MCRAParams = MCRAParams(),
+                  tracker: str = "mcra") -> jnp.ndarray:
+    """OM-LSA enhanced magnitude: G^p * G_min^(1-p) * |X|
+    (ref: bak/multiphase.py:163-166; applied at deepxi/inp_tgt.py:1052-1056).
+
+    Args:
+      mag: [T, F] noisy short-time magnitude spectrum.
+    """
+    try:
+        track = _TRACKERS[tracker]
+    except KeyError:
+        raise ValueError(f"Unknown tracker {tracker!r} (have {sorted(_TRACKERS)})")
+    _, G, p = track(jnp.square(mag), params)
+    return jnp.power(G, p) * jnp.power(params.g_min, 1.0 - p) * mag
