@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train", type=str_to_bool, default=False)
     p.add_argument("--infer", type=str_to_bool, default=False)
     p.add_argument("--test", type=str_to_bool, default=False)
+    p.add_argument("--spect_dist", type=str_to_bool, default=False)
+    p.add_argument("--prelim", type=str_to_bool, default=False)
+    p.add_argument("--sd_snr_levels", type=str_to_list, default=None)
     p.add_argument("--network_type", type=str, default=None)
     p.add_argument("--inp_tgt_type", type=str, default=None)
     # train (ref: deepxi/args.py:45-57)
@@ -86,7 +89,7 @@ def config_from_args(argv: Optional[List[str]] = None) -> Config:
     overrides = {k: v for k, v in vars(args).items()
                  if k in field_names and v is not None}
     # booleans parsed with default False must still override presets
-    for k in ("train", "infer", "test"):
+    for k in ("train", "infer", "test", "spect_dist", "prelim"):
         overrides[k] = getattr(args, k)
     return base.replace(**overrides)
 
@@ -94,6 +97,13 @@ def config_from_args(argv: Optional[List[str]] = None) -> Config:
 def main(argv: Optional[List[str]] = None) -> int:
     cfg = config_from_args(argv)
     print(f"Version: {cfg.ver} ({cfg.network_type}, {cfg.inp_tgt_type})")
+
+    if cfg.prelim:
+        # synthetic sanity harness (ref: deepxi/prelim.py), no data needed
+        from deepxi_tpu.prelim import run_prelim
+        run_prelim(cfg.network_type)
+        if not (cfg.train or cfg.infer or cfg.test or cfg.spect_dist):
+            return 0
 
     from deepxi_tpu.data import batch_list, val_wav_batch
     from deepxi_tpu.framework import DeepXiTPU
@@ -115,8 +125,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"wrote {len(written)} outputs")
     if cfg.test:
         deepxi.test()
-    if not (cfg.train or cfg.infer or cfg.test):
-        print("nothing to do: pass --train 1, --infer 1 and/or --test 1")
+    if cfg.spect_dist:
+        deepxi.spectral_distortion()
+    if not (cfg.train or cfg.infer or cfg.test or cfg.spect_dist or cfg.prelim):
+        print("nothing to do: pass --train 1, --infer 1, --test 1, "
+              "--spect_dist 1 and/or --prelim 1")
         return 1
     return 0
 

@@ -52,6 +52,9 @@ class Config:
     train: bool = False
     infer: bool = False
     test: bool = False
+    spect_dist: bool = False
+    prelim: bool = False
+    sd_snr_levels: Any = dataclasses.field(default_factory=lambda: [-5, 0, 5, 10, 15])
 
     # features (ref: main.py:33-35 derivations)
     f_s: int = 16000

@@ -189,6 +189,9 @@ class DeepXiTPU:
         eval_step = jax.jit(make_eval_step(self.network, self.inp_tgt, cfg.loss_fnc)) \
             if val_set else None
 
+        if cfg.eval_example:
+            self._dump_eval_example(loader)
+
         key = jax.random.PRNGKey(cfg.seed + 1)
         losses: List[float] = []
         for epoch in range(cfg.resume_epoch, cfg.max_epochs):
@@ -221,6 +224,80 @@ class DeepXiTPU:
                 print(msg + f" ({time.time() - t0:.1f}s, {n_steps} steps)")
         self._state = state
         return losses
+
+    def _dump_eval_example(self, loader) -> None:
+        """Dump one mini-batch to .mat for visual verification and run the
+        SNR round-trip assertion (ref: deepxi/model.py:179-192; consumed by
+        eval_example.m)."""
+        cfg = self.cfg
+        s, d, s_len, d_len, snr = loader._load_batch(
+            self.train_s_list[: cfg.mbatch_size])
+        key = jax.random.PRNGKey(cfg.seed + 99)
+        inp, tgt, nf = self.inp_tgt.example(key, jnp.asarray(s), jnp.asarray(d),
+                                            jnp.asarray(s_len), jnp.asarray(d_len),
+                                            jnp.asarray(snr))
+        T = inp.shape[1]
+        seq_mask = (jnp.arange(T)[None] < nf[:, None]).astype(jnp.float32)
+        _save_mat("./inp_batch.mat", np.asarray(inp), "inp_batch")
+        _save_mat("./tgt_batch.mat", np.asarray(tgt), "tgt_batch")
+        _save_mat("./seq_mask_batch.mat", np.asarray(seq_mask), "seq_mask_batch")
+        print("Testing if add_noise() works correctly...")
+        s_f, d_f, _, _ = self.inp_tgt.mix(key, jnp.asarray(s), jnp.asarray(d),
+                                          jnp.asarray(s_len), jnp.asarray(d_len),
+                                          jnp.asarray(snr))
+        for i in range(len(s)):
+            actual = float(sig.snr_db(s_f[i, :s_len[i]], d_f[i, :s_len[i]]))
+            print("SNR target|actual: {:.2f}|{:.2f} (dB).".format(float(snr[i]), actual))
+
+    def spectral_distortion(self, params=None, epochs=None,
+                            snr_levels=None) -> Dict:
+        """Spectral-distortion study: RMS dB distance between instantaneous
+        xi and the estimator's xi_hat per (noise, SNR) condition -- the
+        rebuild of the MATLAB scorer (ref: spectral_distortion_xi.m:1-124;
+        flag ref: deepxi/args.py:38,43). Requires paired clean/noise test
+        sets (test_s_path / test_d_path). Writes
+        log/results/<ver>_e<N>_spect_dist.csv."""
+        cfg = self.cfg
+        snr_levels = snr_levels or cfg.sd_snr_levels
+        epochs = list(epochs) if epochs else (
+            cfg.test_epoch if isinstance(cfg.test_epoch, list) else [cfg.test_epoch])
+        s_batch, s_lens, _, s_names = test_batch(cfg.test_s_path)
+        d_batch, d_lens, _, d_names = test_batch(cfg.test_d_path)
+        apply_fn = jax.jit(self.network.apply)
+        results = {}
+        res_dir = os.path.join(cfg.log_path, "results")
+        os.makedirs(res_dir, exist_ok=True)
+        for e in epochs:
+            p = params if params is not None else self.load_epoch(e)
+            rows = []
+            for snr_level in snr_levels:
+                vals = []
+                for i in range(len(s_names)):
+                    j = i % len(d_names)
+                    L = bucket_length(int(s_lens[i]), cfg.N_s)
+                    s = jnp.asarray(np.pad(s_batch[i], (0, max(L - s_batch.shape[1], 0)))[:L])[None]
+                    d = jnp.asarray(np.pad(d_batch[j], (0, max(L - d_batch.shape[1], 0)))[:L])[None]
+                    key = jax.random.PRNGKey(cfg.seed + 7)
+                    s_f, d_f, x_f, nf = self.inp_tgt.mix(
+                        key, s, d, jnp.asarray([min(int(s_lens[i]), L)], jnp.int32),
+                        jnp.asarray([min(int(d_lens[j]), L)], jnp.int32),
+                        jnp.asarray([float(snr_level)]))
+                    S = self.inp_tgt._stms(s_f)[0]
+                    D = self.inp_tgt._stms(d_f)[0]
+                    X = self.inp_tgt._stms(x_f)[0]
+                    n = int(nf[0])
+                    xi_inst = sig.xi(S, D)[:n]
+                    tgt_hat = apply_fn(p, X[None])[0][:n]
+                    xi_hat = self.inp_tgt.xi_hat(tgt_hat)
+                    sd = float(sig.spectral_distortion(xi_inst, xi_hat))
+                    vals.append(sd)
+                results[(e, snr_level)] = float(np.mean(vals))
+                rows.append((snr_level, float(np.mean(vals))))
+            with open(os.path.join(res_dir, f"{cfg.ver}_e{e}_spect_dist.csv"), "w") as f:
+                f.write("snr_db,xi_spectral_distortion_db\n")
+                for snr_level, v in rows:
+                    f.write(f"{snr_level},{v:.4f}\n")
+        return results
 
     def _build_val_set(self):
         """Deterministic validation examples from paired files
@@ -369,10 +446,7 @@ class DeepXiTPU:
         x_batch, x_lens, _, x_names = test_batch(cfg.test_x_path)
         s_batch, s_lens, _, s_names = test_batch(cfg.test_s_path)
 
-        try:
-            from deepxi_tpu.metrics.pesq import pesq as pesq_fn
-        except Exception:
-            pesq_fn = None
+        from deepxi_tpu.metrics.pesq import pesq as pesq_fn
 
         apply_fn = jax.jit(self.network.apply)
         all_results = {}

@@ -1,0 +1,76 @@
+"""PESQ (ITU-T P.862) tests: identity, monotonicity, real-speech behaviour,
+mode mappings."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deepxi_tpu.metrics.pesq import pesq
+
+REF = "/root/reference"
+
+
+def speechlike(n=64000, fs=16000, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / fs
+    return (rng.randn(n) * (0.55 + 0.45 * np.sin(2 * np.pi * 3 * t)) * 0.1)
+
+
+class TestPESQ:
+    def test_identity_is_max(self):
+        x = speechlike()
+        assert pesq(x, x, 16000, "nb") == pytest.approx(4.5, abs=1e-3)
+
+    def test_monotonic_with_snr(self):
+        x = speechlike()
+        noise = np.random.RandomState(1).randn(len(x))
+        vals = []
+        for snr in [30, 10, 0]:
+            a = np.sqrt(np.mean(x ** 2) / (10 ** (snr / 10) * np.mean(noise ** 2)))
+            vals.append(pesq(x, x + a * noise, 16000, "nb"))
+        assert vals[0] > vals[1] > vals[2]
+        assert vals[0] > 4.0 and vals[2] < 3.5
+
+    def test_modes_and_mappings(self):
+        x = speechlike(n=48000)
+        y = x + np.random.RandomState(2).randn(len(x)) * 0.02
+        raw = pesq(x, y, 16000, "nb")
+        lqo = pesq(x, y, 16000, "nb-lqo")
+        expected = 0.999 + 4.0 / (1.0 + np.exp(-1.4945 * raw + 4.6607))
+        assert lqo == pytest.approx(expected, abs=1e-6)
+        wb = pesq(x, y, 16000, "wb")
+        assert 1.0 <= wb <= 4.7
+
+    def test_8k_input(self):
+        x = speechlike(n=32000, fs=8000)
+        assert pesq(x, x, 8000, "nb") == pytest.approx(4.5, abs=1e-3)
+
+    def test_invalid_mode(self):
+        with pytest.raises(ValueError):
+            pesq(np.zeros(8000), np.zeros(8000), 16000, "xb")
+
+    @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+    def test_real_speech_enhancement_ordering(self):
+        from deepxi_tpu.data.wavio import read_wav
+        s, _ = read_wav(f"{REF}/set/test_clean_speech/FB_FB10_07_voice-babble.wav")
+        x, _ = read_wav(f"{REF}/set/test_noisy_speech/FB_FB10_07_voice-babble_5dB.wav")
+        y, _ = read_wav(f"{REF}/out/resnet-1.0c/e180/y/mmse-lsa/FB_FB10_07_voice-babble_5dB.wav")
+        n = min(len(s), len(x), len(y))
+        s = s[:n].astype(np.float32) / 32768
+        x = x[:n].astype(np.float32) / 32768
+        y = y[:n].astype(np.float32) / 32768
+        p_noisy = pesq(s, x, 16000, "nb")
+        p_enh = pesq(s, y, 16000, "nb")
+        # enhancement must improve PESQ substantially at 5 dB babble
+        assert p_enh > p_noisy + 0.4
+        assert 1.0 < p_noisy < 2.5
+        assert 1.8 < p_enh < 3.2
+
+    def test_composite_with_native_pesq(self):
+        from deepxi_tpu.metrics import composite
+        x = speechlike(n=48000)
+        y = x + np.random.RandomState(3).randn(len(x)) * 0.01
+        out = composite(x, y, 16000)  # PESQ computed natively
+        assert "CSIG" in out and "PESQ" in out
+        assert 1.0 <= out["COVL"] <= 5.0
