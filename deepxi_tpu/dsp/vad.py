@@ -1,0 +1,88 @@
+"""Voice activity detection and speech segmenting.
+
+The fork segments audio with the external `webrtcvad` package
+(ref: aptfilt/vad_webrtc.py:105); this native equivalent provides an
+adaptive-threshold energy VAD with the ITU-style hangover/join smoothing the
+PESQ front end uses (MINSPEECHLGTH=4, JOINSPEECHLGTH=50 frames), fully
+device-side for the framing/energy part.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def frame_energies(wav: jnp.ndarray, fs: int, frame_ms: float = 10.0
+                   ) -> jnp.ndarray:
+    """[T] mean-square energy of non-overlapping frames."""
+    n = int(fs * frame_ms / 1000.0)
+    T = wav.shape[-1] // n
+    fr = wav[..., :T * n].reshape(wav.shape[:-1] + (T, n)).astype(jnp.float32)
+    return jnp.mean(jnp.square(fr), axis=-1)
+
+
+def energy_vad(wav: np.ndarray, fs: int, frame_ms: float = 10.0,
+               margin_db: float = 12.0, floor_quantile: float = 0.1
+               ) -> np.ndarray:
+    """Adaptive energy VAD: a frame is speech if its energy exceeds the
+    noise floor (low quantile of frame energies) by `margin_db`.
+
+    Returns a [T] bool array at `frame_ms` resolution.
+    """
+    e = np.asarray(frame_energies(jnp.asarray(wav), fs, frame_ms))
+    e = np.maximum(e, 1e-12)
+    floor = np.quantile(e, floor_quantile)
+    return 10.0 * np.log10(e / max(floor, 1e-12)) > margin_db
+
+
+def smooth_vad(vad: np.ndarray, min_speech: int = 4, join: int = 50
+               ) -> np.ndarray:
+    """Drop speech runs shorter than `min_speech` frames and bridge gaps
+    shorter than `join` frames (the P.862 VAD post-processing conventions)."""
+    v = vad.astype(bool).copy()
+    # bridge short gaps
+    t = 0
+    T = len(v)
+    while t < T:
+        if not v[t]:
+            t0 = t
+            while t < T and not v[t]:
+                t += 1
+            if t0 > 0 and t < T and (t - t0) < join:
+                v[t0:t] = True
+        else:
+            t += 1
+    # drop short speech runs
+    t = 0
+    while t < T:
+        if v[t]:
+            t0 = t
+            while t < T and v[t]:
+                t += 1
+            if (t - t0) < min_speech:
+                v[t0:t] = False
+        else:
+            t += 1
+    return v
+
+
+def speech_segments(wav: np.ndarray, fs: int, frame_ms: float = 10.0,
+                    **kwargs) -> List[Tuple[int, int]]:
+    """Speech (start, end) sample ranges (ref use case:
+    aptfilt/vad_webrtc.py segments utterances before adaptive filtering)."""
+    v = smooth_vad(energy_vad(wav, fs, frame_ms, **kwargs))
+    n = int(fs * frame_ms / 1000.0)
+    out: List[Tuple[int, int]] = []
+    t = 0
+    while t < len(v):
+        if v[t]:
+            t0 = t
+            while t < len(v) and v[t]:
+                t += 1
+            out.append((t0 * n, t * n))
+        else:
+            t += 1
+    return out

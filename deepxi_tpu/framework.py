@@ -421,6 +421,16 @@ class DeepXiTPU:
             data, key = (xi_sub > 1.0).astype(bool), "subband_ibm_hat"
         elif out_type == "cd_hat":
             data, key = np.asarray(it.cd_hat(tgt_hat)), "cd_hat"
+        elif out_type == "d_hat":
+            # noise waveform estimate via the DeepMMSE noise PSD
+            # (documented but unimplemented in the reference,
+            # ref: deepxi/args.py:64)
+            xi_hat = it.xi_hat(tgt_hat)
+            d_psd = jnp.square(inp) * gfunc(xi_hat, xi_hat + 1.0, "deepmmse")
+            d_wav = it.polar_synthesis(jnp.sqrt(jnp.maximum(d_psd, 0.0)), sup)
+            path = os.path.join(out_dir, name + ".wav")
+            save_wav(path, np.asarray(d_wav), cfg.f_s)
+            return path
         else:
             raise ValueError(f"Invalid output type: {out_type!r}")
         path = os.path.join(out_dir, name + ".mat")

@@ -1,5 +1,7 @@
 """Mesh/sharding layer (TPU-native; no reference equivalent)."""
 
+from deepxi_tpu.parallel.distributed import (init_distributed, is_primary,
+                                              local_batch_slice)
 from deepxi_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -11,5 +13,6 @@ from deepxi_tpu.parallel.mesh import (
     shard_params,
 )
 
-__all__ = ["DATA_AXIS", "MODEL_AXIS", "batch_sharding", "make_mesh",
-           "param_sharding", "replicated", "shard_batch", "shard_params"]
+__all__ = ["DATA_AXIS", "MODEL_AXIS", "batch_sharding", "init_distributed",
+           "is_primary", "local_batch_slice", "make_mesh", "param_sharding",
+           "replicated", "shard_batch", "shard_params"]

@@ -1,0 +1,82 @@
+"""VAD and d_hat output-mode tests."""
+
+import numpy as np
+import pytest
+
+from deepxi_tpu.dsp.vad import energy_vad, smooth_vad, speech_segments
+
+
+def burst_signal(fs=16000, seed=0):
+    """2 s: noise floor with two clear speech bursts."""
+    rng = np.random.RandomState(seed)
+    x = rng.randn(fs * 2) * 0.005
+    x[4000:10000] += np.sin(2 * np.pi * 300 * np.arange(6000) / fs) * 0.4
+    x[20000:26000] += np.sin(2 * np.pi * 250 * np.arange(6000) / fs) * 0.4
+    return x
+
+
+class TestVAD:
+    def test_detects_bursts(self):
+        x = burst_signal()
+        segs = speech_segments(x, 16000)
+        assert len(segs) == 2
+        (a0, a1), (b0, b1) = segs
+        assert abs(a0 - 4000) < 800 and abs(a1 - 10000) < 1600
+        assert abs(b0 - 20000) < 800 and abs(b1 - 26000) < 1600
+
+    def test_smooth_bridges_and_drops(self):
+        v = np.zeros(100, bool)
+        v[10:40] = True
+        v[45:80] = True          # 5-frame gap -> bridged
+        v[90:92] = True          # 2-frame blip -> dropped
+        out = smooth_vad(v, min_speech=4, join=10)
+        assert out[10:80].all()
+        assert not out[90:92].any()
+
+    def test_all_noise_no_speech(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(16000) * 0.01
+        v = smooth_vad(energy_vad(x, 16000))
+        assert v.mean() < 0.3
+
+
+class TestDHatOutput:
+    def test_d_hat_writes_wav(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from deepxi_tpu.framework import DeepXiTPU
+        from deepxi_tpu.config import Config
+        from deepxi_tpu.data import save_wav, read_wav
+
+        rng = np.random.RandomState(0)
+        set_dir = tmp_path / "set"
+        x = (rng.randn(12000) * 3000).astype(np.int16)
+        save_wav(str(set_dir / "test_noisy_speech" / "a_white_5dB.wav"), x, 16000)
+        cfg = Config(ver="tiny", network_type="ResNetV2", d_model=32,
+                     n_blocks=2, d_f=16, k=3, max_d_rate=2, causal=True,
+                     unit_type="ReLU->LN->W+b", mbatch_size=2, sample_size=2,
+                     data_path=str(tmp_path / "data"),
+                     model_path=str(tmp_path / "model"),
+                     log_path=str(tmp_path / "log"),
+                     out_path=str(tmp_path / "out"),
+                     test_x_path=str(set_dir / "test_noisy_speech"))
+        # bypass stats bootstrap: fit on synthetic sample
+        sample = (np.abs(rng.randn(32, 257)) ** 2).astype(np.float32)
+        dx = DeepXiTPU.__new__(DeepXiTPU)
+        dx.cfg = cfg
+        from deepxi_tpu.inp_tgt import inp_tgt_selector
+        from deepxi_tpu.models import network_selector
+        from deepxi_tpu.parallel import make_mesh
+        dx.inp_tgt = inp_tgt_selector("MagXi", N_d=512, N_s=256, K=512,
+                                      f_s=16000, map_type="DBNormalCDF",
+                                      map_params=None)
+        dx.inp_tgt = dx.inp_tgt.replace(
+            xi_map=dx.inp_tgt.xi_map.with_stats(jnp.asarray(sample)))
+        dx.network = network_selector("ResNetV2", 257, **cfg.network_kwargs())
+        dx.mesh = make_mesh(1, 1)
+        params = dx.network.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 257)))
+        written = dx.infer(params=params, out_type="d_hat", epochs=[1],
+                           gains=["mmse-lsa"])
+        assert len(written) == 1 and written[0].endswith(".wav")
+        w, _ = read_wav(written[0])
+        assert len(w) > 10000
