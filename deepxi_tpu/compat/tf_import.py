@@ -116,7 +116,7 @@ def read_keras_checkpoint(ckpt_prefix: str) -> Dict[int, Dict[str, np.ndarray]]:
     return out
 
 
-def import_resnet(ckpt_prefix: str, n_blocks: int = 40,
+def import_resnet(ckpt_prefix, n_blocks: int = 40,
                   version: int = 2) -> Dict[str, Any]:
     """Map a ResNet/ResNetV2/ResNetV3 Keras checkpoint to our flax params.
 
@@ -125,8 +125,12 @@ def import_resnet(ckpt_prefix: str, n_blocks: int = 40,
     LNs have no weights), finally out_conv.
     For version==1 (ResNet 1.0): unit LNs carry gamma+beta and the layer
     ordering interleaves them; handled below.
+
+    `ckpt_prefix` may also be a pre-read {layer_index: {attr: array}} dict
+    (for round-trip tests without TF).
     """
-    layers = read_keras_checkpoint(ckpt_prefix)
+    layers = (ckpt_prefix if isinstance(ckpt_prefix, dict)
+              else read_keras_checkpoint(ckpt_prefix))
     p: Dict[str, Any] = {}
 
     def conv(entry):
@@ -157,14 +161,16 @@ def import_resnet(ckpt_prefix: str, n_blocks: int = 40,
     return {"params": _np_tree(p)}
 
 
-def import_mhanet_v3(ckpt_prefix: str, n_blocks: int = 5) -> Dict[str, Any]:
+def import_mhanet_v3(ckpt_prefix, n_blocks: int = 5) -> Dict[str, Any]:
     """Map an MHANetV3 Keras checkpoint to our flax params.
 
     Keras creation order (verified against model/mhanet-1.1c/epoch-199):
     0 in_conv(kernel), 1 in_ln(gamma,beta), 2 pos_emb, then per block
     [mha(4 kernels), ln1, ff1(conv), ff2(conv), ln2], finally out_conv.
+    `ckpt_prefix` may also be a pre-read {layer_index: {attr: array}} dict.
     """
-    layers = read_keras_checkpoint(ckpt_prefix)
+    layers = (ckpt_prefix if isinstance(ckpt_prefix, dict)
+              else read_keras_checkpoint(ckpt_prefix))
     p: Dict[str, Any] = {}
     p["in_conv"] = {"kernel": layers[0]["kernel"]}
     p["in_ln"] = {"scale": layers[1]["gamma"], "bias": layers[1]["beta"]}

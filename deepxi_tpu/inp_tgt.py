@@ -355,6 +355,56 @@ class STDCTXiCD(InpTgtBase):
         return self.cd_map.inverse(jnp.split(tgt_hat, 2, axis=-1)[1])
 
 
+@struct.dataclass
+class MagPhonemes(InpTgtBase):
+    """STMS input, per-frame phoneme-posterior target; enhancement through
+    the classical hybrid stack (ref: deepxi/inp_tgt.py:970-1087 MagPhonemes:
+    the fork's network classifies phonemes, and synthesis runs OM-LSA or
+    MixMax with the network posteriors).
+
+    Targets are one-hot phoneme labels (built by
+    deepxi_tpu.dsp.labels.one_hot_targets from forced alignments); the
+    noisy-mixture example path mirrors phoneme_mbatch_gen_aug
+    (ref: deepxi/model.py:2061-2112)."""
+    n_phonemes: int = struct.field(pytree_node=False, default=98)
+    mixmax_model: Any = None   # optional dsp.mixmax.MixMaxModel
+
+    @property
+    def n_outp(self) -> int:
+        return self.n_phonemes
+
+    def example(self, key, s, d, s_len, d_len, snr, labels=None):
+        """(x_STMS, one-hot targets, n_frames). `labels`: [B, T] int frame
+        labels (already at the STFT frame rate); without labels the target
+        is all-"class 0" (useful only for shape plumbing)."""
+        s, d, x, n_frames = self.mix(key, s, d, s_len, d_len, snr)
+        x_STMS = self._stms(x)
+        T = x_STMS.shape[1]
+        if labels is None:
+            labels = jnp.zeros(x_STMS.shape[:2], jnp.int32)
+        labels = labels[:, :T]
+        tgt = jax.nn.one_hot(labels, self.n_phonemes)
+        return x_STMS, tgt, n_frames
+
+    def enhanced_speech(self, x_STMS, x_STPS, posteriors, gtype: str = "omlsa"):
+        """OM-LSA (default, ref: deepxi/inp_tgt.py:1044-1057) or MixMax with
+        the network's phoneme posteriors (ref: deepxi/inp_tgt.py:1058-1072)."""
+        if gtype == "omlsa":
+            from deepxi_tpu.dsp.trackers import omlsa_enhance
+            y_STMS = omlsa_enhance(x_STMS)
+            return self.polar_synthesis(y_STMS, x_STPS)
+        if gtype == "mixmax":
+            if self.mixmax_model is None:
+                raise ValueError("MagPhonemes mixmax synthesis needs a "
+                                 "mixmax_model (dsp.mixmax.MixMaxModel)")
+            from deepxi_tpu.dsp.mixmax import enhance as mixmax_enhance
+            log_mag = jnp.log(jnp.maximum(x_STMS, jnp.finfo(jnp.float32).eps))
+            x_hat = mixmax_enhance(self.mixmax_model, log_mag,
+                                   posteriors=posteriors)
+            return self.polar_synthesis(jnp.exp(x_hat), x_STPS)
+        raise ValueError(f"MagPhonemes gtype must be omlsa|mixmax, got {gtype!r}")
+
+
 def inp_tgt_selector(inp_tgt_type: str, N_d: int, N_s: int, K: int, f_s: int,
                      **kwargs: Any):
     """Build an inp_tgt family (ref: deepxi/inp_tgt.py:24-71). `map_type`/
@@ -381,4 +431,6 @@ def inp_tgt_selector(inp_tgt_type: str, N_d: int, N_s: int, K: int, f_s: int,
     if inp_tgt_type == "STDCTXiCD":
         return STDCTXiCD(**dims, xi_map=map_selector(mt[0], mp[0]),
                          cd_map=map_selector(mt[1], mp[1]))
+    if inp_tgt_type in ("MagPhonemes", "MagPhonme"):  # fork's typo accepted
+        return MagPhonemes(**dims, n_phonemes=kwargs.get("Noutp") or 98)
     raise ValueError(f"Invalid inp_tgt type: {inp_tgt_type!r}")
