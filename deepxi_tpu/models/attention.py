@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from deepxi_tpu.models.tcn import conv1d, output_activation
@@ -70,6 +71,42 @@ def attention_mask_v2(x: jnp.ndarray, causal: bool) -> jnp.ndarray:
     return logical.astype(jnp.float32)[:, None]
 
 
+def _blockwise_attention(qp: jnp.ndarray, kp: jnp.ndarray, vp: jnp.ndarray,
+                         valid: jnp.ndarray, causal: bool,
+                         block_q: int) -> jnp.ndarray:
+    """Query-blocked attention: scan over query blocks so only
+    [B, H, block_q, T] logits are live at once; mask rows are rebuilt per
+    block from the [B, T] valid vector (never materialising [T, T]). Same
+    additive-mask softmax as the full path -> outputs match to float
+    rounding, with O(T * block_q) live memory.
+
+    qp/kp/vp: [B, T, H, d]; valid: [B, T] bool.
+    """
+    B, T, H, d = qp.shape
+    Tpad = -(-T // block_q) * block_q
+    if Tpad != T:
+        qp = jnp.pad(qp, ((0, 0), (0, Tpad - T), (0, 0), (0, 0)))
+    nblk = Tpad // block_q
+    q_blocks = qp.reshape(B, nblk, block_q, H, d).transpose(1, 0, 2, 3, 4)
+    key_pos = jnp.arange(T)
+
+    def body(_, x):
+        qb, blk = x
+        logits = jnp.einsum("btHd,bsHd->bHts", qb, kp)
+        q_pos = blk * block_q + jnp.arange(block_q)
+        q_valid = jnp.take(valid, jnp.minimum(q_pos, T - 1), axis=1)
+        mb = valid[:, None, :] & q_valid[:, :, None]       # [B, bq, T]
+        if causal:
+            mb = mb & (key_pos[None, None, :] <= q_pos[None, :, None])
+        logits = logits + NEG_INF_V2 * (1.0 - mb[:, None].astype(logits.dtype))
+        w = jax.nn.softmax(logits, axis=-1)
+        return None, jnp.einsum("bHts,bsHd->btHd", w, vp)
+
+    _, outs = jax.lax.scan(body, None, (q_blocks, jnp.arange(nblk)))
+    out = outs.transpose(1, 0, 2, 3, 4).reshape(B, Tpad, H, d)
+    return out[:, :T]
+
+
 class MultiHeadAttentionV1(nn.Module):
     """Custom MHA with 1x1-conv (i.e. dense, no bias) QKVO projections
     (ref: deepxi/network/attention.py:103-207)."""
@@ -112,9 +149,16 @@ class TFAMultiHeadAttention(nn.Module):
     head_size: int
     num_heads: int
     output_size: int
+    # "full": [B,H,T,T] logits (exact reference memory behaviour).
+    # "block": lax.scan over query blocks -- O(T * block_q) live memory
+    #   instead of O(T^2), for long-audio inference (SURVEY.md section 2f);
+    #   numerically identical (same additive mask + softmax).
+    impl: str = "full"
+    block_q: int = 256
 
     @nn.compact
-    def __call__(self, q, k, v, mask: Optional[jnp.ndarray]):
+    def __call__(self, q, k, v, mask: Optional[jnp.ndarray] = None,
+                 valid: Optional[jnp.ndarray] = None, causal: bool = False):
         I = q.shape[-1]
 
         def pkernel(name, shape):
@@ -129,11 +173,16 @@ class TFAMultiHeadAttention(nn.Module):
         kp = jnp.einsum("bsI,HId->bsHd", k, kk)
         vp = jnp.einsum("bsI,HId->bsHd", v, vk)
 
-        logits = jnp.einsum("btHd,bsHd->bHts", qp, kp)
-        if mask is not None:
-            logits = logits + NEG_INF_V2 * (1.0 - mask)
-        w = nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bHts,bsHd->btHd", w, vp)
+        if self.impl == "block":
+            if valid is None:
+                raise ValueError("block attention needs the [B, T] valid mask")
+            out = _blockwise_attention(qp, kp, vp, valid, causal, self.block_q)
+        else:
+            logits = jnp.einsum("btHd,bsHd->bHts", qp, kp)
+            if mask is not None:
+                logits = logits + NEG_INF_V2 * (1.0 - mask)
+            w = nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bHts,bsHd->btHd", w, vp)
         return jnp.einsum("btHd,Hdo->bto", out, ok)
 
 
@@ -178,13 +227,19 @@ class MHANetV2(nn.Module):
     causal: bool = True
     outp_act: str = "Sigmoid"
     warmup_steps: int = 40000
+    attention_impl: str = "full"   # "block" for O(T*block) long-audio memory
+    block_q: int = 256
 
     def positional(self, x: jnp.ndarray) -> jnp.ndarray:
         return x  # V2 has no positional encoding
 
     @nn.compact
     def __call__(self, inp: jnp.ndarray) -> jnp.ndarray:
-        mask = attention_mask_v2(inp, self.causal)
+        if self.attention_impl == "block":
+            # never materialise [T, T]: per-block masks rebuild from [B, T]
+            mask, valid = None, sequence_valid_mask(inp)
+        else:
+            mask, valid = attention_mask_v2(inp, self.causal), None
 
         x = conv1d(self.d_model, 1, 1, self.causal, False, "in_conv")(inp)
         x = nn.LayerNorm(epsilon=1e-6, name="in_ln")(x)
@@ -196,7 +251,10 @@ class MHANetV2(nn.Module):
         for i in range(self.n_blocks):
             h = TFAMultiHeadAttention(head_size=d_k, num_heads=self.n_heads,
                                       output_size=self.d_model,
-                                      name=f"block{i}_mha")(x, x, x, mask)
+                                      impl=self.attention_impl,
+                                      block_q=self.block_q,
+                                      name=f"block{i}_mha")(
+                x, x, x, mask=mask, valid=valid, causal=self.causal)
             x = nn.LayerNorm(epsilon=1e-6, name=f"block{i}_ln1")(x + h)
             h = nn.Dense(d_ff, name=f"block{i}_ff1")(x)
             h = nn.relu(h)
