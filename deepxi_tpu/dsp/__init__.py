@@ -9,7 +9,8 @@ from deepxi_tpu.dsp.mixmax import (MixMaxModel, default_delta,
 from deepxi_tpu.dsp.mixmax import enhance as mixmax_enhance
 from deepxi_tpu.dsp.phoneme import Dictionary, Phoneme, parse_lexicon
 from deepxi_tpu.dsp.trackers import (MCRAParams, imcra_track, mcra2_track,
-                                     mcra_track, omlsa_enhance)
+                                     mcra_tbrr_track, mcra_track,
+                                     omlsa_enhance)
 from deepxi_tpu.dsp.vts import (VTSModel, em_step, make_model, rt_vts_track,
                                 vts_enhance)
 
@@ -17,6 +18,6 @@ __all__ = ["Dictionary", "HistOutputs", "HistParams", "MCRAParams",
            "MixMaxModel", "Phoneme", "VTSModel", "block_nlms",
            "default_delta", "delta", "em_step", "fbank",
            "gaussians_from_stats", "histogram_track", "imcra_track", "lms",
-           "logfbank", "make_model", "mcra2_track", "mcra_track", "mfcc",
+           "logfbank", "make_model", "mcra2_track", "mcra_tbrr_track", "mcra_track", "mfcc",
            "mixmax_enhance", "nlms", "omlsa_enhance", "parse_lexicon",
            "rt_vts_track", "ssc", "vts_enhance"]

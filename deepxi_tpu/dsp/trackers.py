@@ -209,6 +209,82 @@ def imcra_track(pwr: jnp.ndarray, params: MCRAParams = MCRAParams(
     return ld, G, p
 
 
+def mcra_tbrr_track(pwr: jnp.ndarray, pwr_b: jnp.ndarray, pwr_bm: jnp.ndarray,
+                    params: MCRAParams = MCRAParams()
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dual-channel MCRA with transient-beam-to-reference-ratio priors
+    (ref: bak/multiphase.py:263-330): two auxiliary MCRA trackers follow the
+    beamformer output (pwr_b) and the blocking-matrix reference (pwr_bm);
+    their smoothed-power/noise ratios drive a soft a priori absence q, which
+    gates the main channel's noise update IMCRA-style.
+
+    Args:
+      pwr: [T, F] main-channel periodogram.
+      pwr_b: [T, F] beam channel periodogram.
+      pwr_bm: [T, F] blocking-matrix (noise reference) periodogram.
+
+    Returns (lambda_d, G, p) for the main channel.
+    """
+    LAMBDA_0, LAMBDA_1 = 1.67, 1.81
+    GAMMA_0 = 4.6
+    OMEGA_LO, OMEGA_HI = 1.0, 3.0
+
+    state = _init_common(pwr[0])
+    state["zb"] = _init_common(pwr_b[0])
+    state["zr"] = _init_common(pwr_bm[0])
+
+    def sub_step(sub, pw, t):
+        """One auxiliary-channel MCRA update; returns (new_state)."""
+        snr_gamma, snr_xi = _dd_snr(sub, pw)
+        S = params.alpha_s * sub["S"] + (1 - params.alpha_s) * _freq_smooth(pw)
+        win_reset = (t % params.frame_L) == 0
+        S_min = jnp.where(win_reset, jnp.minimum(S, sub["S_tmp"]),
+                          jnp.minimum(S, sub["S_min"]))
+        S_tmp = jnp.where(win_reset, S, jnp.minimum(S, sub["S_tmp"]))
+        p = (S / S_min > params.delta).astype(pw.dtype)
+        sp, lambda_d, _ = _finish(dict(sub, snr_gamma=snr_gamma,
+                                       snr_xi=snr_xi), pw, p, params)
+        return dict(lambda_d=lambda_d, S=S, S_tmp=S_tmp, S_min=S_min,
+                    speech_present=sp, snr_gamma=snr_gamma, snr_xi=snr_xi)
+
+    def step(state, inp):
+        t, pw, pb, pbm = inp
+        snr_gamma, snr_xi = _dd_snr(state, pw)
+        zb = sub_step(state["zb"], pb, t)
+        zr = sub_step(state["zr"], pbm, t)
+        # hypothesis tests on beam/reference ratios (ref: multiphase.py:283-302)
+        Lam_y = zb["S"] / jnp.maximum(zb["lambda_d"], 1e-16)
+        Lam_bm = zr["S"] / jnp.maximum(zr["lambda_d"], 1e-16)
+        Omega = (zb["S"] - zb["lambda_d"]) / jnp.maximum(
+            zr["S"] - zr["lambda_d"], 1e-16)
+        H0 = (Lam_y <= LAMBDA_0).astype(pw.dtype)
+        H1 = (1 - H0) * (Lam_bm <= LAMBDA_1).astype(pw.dtype)
+        Hr = (1 - H0) * (1 - H1)
+        H0t = ((Omega < OMEGA_LO) | (snr_gamma < 1.0)).astype(pw.dtype) * Hr
+        Hmask = Hr * (1 - H0t)
+        H1t = ((Omega > OMEGA_HI) | (snr_gamma > GAMMA_0)).astype(pw.dtype) * Hmask
+        Hr_mask = Hmask * (1 - H1t)
+        r = jnp.maximum((GAMMA_0 - snr_gamma) / (GAMMA_0 - 1.0),
+                        (OMEGA_HI - Omega) / (OMEGA_HI - OMEGA_LO))
+        q = jnp.clip(H0 + H0t + r * Hr_mask, 0.0, 1.0)
+        # soft presence from q (ref: multiphase.py:304-312)
+        v = snr_xi * snr_gamma / jnp.maximum(1.0 + snr_xi, 1e-16)
+        one_minus_q = jnp.maximum(1.0 - q, 1e-16)
+        p = 1.0 / jnp.maximum(
+            1.0 + q * (1.0 + snr_xi) * jnp.exp(-v) / one_minus_q, 1e-16)
+        alpha_D = params.alpha_d + (1.0 - params.alpha_d) * p
+        lambda_d = alpha_D * state["lambda_d"] + (1.0 - alpha_D) * pw
+        G_h = mmse_lsa(snr_xi, snr_gamma)
+        new = dict(state, lambda_d=lambda_d, speech_present=p,
+                   snr_gamma=snr_gamma, snr_xi=snr_xi, zb=zb, zr=zr)
+        return new, (lambda_d, G_h, p)
+
+    T = pwr.shape[0]
+    _, (ld, G, p) = jax.lax.scan(step, state,
+                                 (jnp.arange(T), pwr, pwr_b, pwr_bm))
+    return ld, G, p
+
+
 _TRACKERS = {"mcra": mcra_track, "mcra2": mcra2_track, "imcra": imcra_track}
 
 

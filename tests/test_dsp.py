@@ -170,3 +170,20 @@ class TestMixMax:
         x_hat = mixmax_enhance(model, z, track_noise=True)
         # with noise far below, rho ~ 1 and the estimate tracks z
         np.testing.assert_allclose(np.asarray(x_hat), np.asarray(z), atol=0.3)
+
+
+class TestMCRATBRR:
+    def test_dual_channel_tracking(self):
+        import jax
+        from deepxi_tpu.dsp.trackers import mcra_tbrr_track
+        pwr, noise_psd = noisy_spectrogram()
+        pwr_b, _ = noisy_spectrogram(seed=1)
+        pwr_bm, _ = noisy_spectrogram(seed=2, speech_every=10**9)  # noise ref
+        ld, G, p = jax.jit(mcra_tbrr_track)(pwr, pwr_b, pwr_bm)
+        assert ld.shape == pwr.shape
+        assert np.isfinite(np.asarray(ld)).all()
+        assert np.isfinite(np.asarray(G)).all()
+        pv = np.asarray(p)
+        assert (pv >= 0).all() and (pv <= 1.0 + 1e-6).all()
+        ratio = np.asarray(ld[-1]) / noise_psd
+        assert np.median(ratio) < 5.0
