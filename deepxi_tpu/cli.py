@@ -61,7 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(f"--{flag}", type=int, default=None)
     # network (ref: deepxi/args.py:96-117)
     for flag in ("d_model", "n_blocks", "n_heads", "d_b", "d_f", "d_ff", "k",
-                 "max_d_rate", "warmup_steps", "length", "m_1", "max_len"):
+                 "max_d_rate", "warmup_steps", "length", "m_1", "max_len",
+                 "Noutp"):
         p.add_argument(f"--{flag}", type=int, default=None)
     p.add_argument("--causal", type=str_to_bool, default=None)
     p.add_argument("--unit_type", type=str, default=None)

@@ -98,6 +98,7 @@ class Config:
     unit_type: Optional[str] = None
     outp_act: str = "Sigmoid"
     max_len: Optional[int] = None
+    Noutp: Optional[int] = None  # MagPhonemes class count (ref: args.py:117)
 
     # map
     map_type: Any = "DBNormalCDF"

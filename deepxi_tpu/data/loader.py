@@ -90,10 +90,19 @@ class MiniBatchLoader:
         return s, d, s_len, d_len, snr
 
     def epoch(self, epoch_idx: int) -> Iterator[Tuple[np.ndarray, ...]]:
-        """One epoch of mini-batches, prefetched on a background thread."""
+        """One epoch of mini-batches, prefetched on a background thread.
+
+        Shuffling is chunk-local length-sorted: items shuffle globally, then
+        sort by length within chunks of 8 mini-batches whose order is itself
+        shuffled -- batches bucket tightly (fewer XLA shapes, less pad) while
+        the visiting order stays random across epochs."""
         order = self.rng.permutation(self.n_examples)
-        # group by length so batches bucket tightly (stable shapes, less pad)
         items = [self.s_list[i] for i in order]
+        chunk = self.mbatch_size * 8
+        chunks = [sorted(items[i:i + chunk], key=lambda it: it["wav_len"])
+                  for i in range(0, len(items), chunk)]
+        self.rng.shuffle(chunks)
+        items = [it for c in chunks for it in c]
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
 

@@ -55,8 +55,16 @@ def save_wav(path: str, wav: np.ndarray, f_s: int) -> None:
         w.writeframes(wav.astype("<i2").tobytes())
 
 
-def wav_length(path: str) -> int:
-    """Frame count of a wav file without reading samples
-    (ref: deepxi/utils.py:120-124 uses SoundFile.seek(0, SEEK_END))."""
+def wav_length(path: str, f_s: int = 16000) -> int:
+    """Sample count of a wav file AT THE TARGET RATE without reading samples
+    (ref: deepxi/utils.py:120-124 uses SoundFile.seek(0, SEEK_END)). read_wav
+    resamples to f_s, so lengths must be reported at f_s or batch buffers and
+    the noise-length constraint would use the wrong scale."""
     with wave.open(path, "rb") as w:
-        return w.getnframes()
+        n, rate = w.getnframes(), w.getframerate()
+    if rate == f_s:
+        return n
+    from scipy.signal import resample_poly  # match read_wav's output length
+    g = np.gcd(rate, f_s)
+    up, down = f_s // g, rate // g
+    return int(np.ceil(n * up / down))

@@ -65,7 +65,9 @@ def frame_labels(segments: Sequence[Segment], n_frames: int,
             continue
         f0 = int(math.ceil(a * per_sec))
         f1 = int(math.floor(b * per_sec))
-        out[max(f0, 0):min(f1, n_frames)] = entry2index[pho]
+        # inclusive stop frame (the fork labels stops-starts+1 frames,
+        # ref: hybrid/phonemes_utils.py)
+        out[max(f0, 0):min(f1 + 1, n_frames)] = entry2index[pho]
     return out
 
 

@@ -61,6 +61,9 @@ class MCRAParams(NamedTuple):
 
 
 def _init_common(pwr0: jnp.ndarray):
+    # floor the seed: a digitally-silent first frame would make lambda_d = 0
+    # and NaN/Inf the decision-directed division for the whole scan
+    pwr0 = jnp.maximum(pwr0, 1e-12)
     S0 = _freq_smooth(pwr0)
     return dict(
         lambda_d=pwr0,
@@ -75,7 +78,7 @@ def _dd_snr(state, pwr):
     """Decision-directed SNR update (ref: bak/multiphase.py:114-118)."""
     G_h = mmse_lsa(state["snr_xi"], state["snr_gamma"])
     gamma_prev = state["snr_gamma"]
-    snr_gamma = pwr / state["lambda_d"]
+    snr_gamma = pwr / jnp.maximum(state["lambda_d"], 1e-12)
     snr_xi = (_ALPHA_SNR * jnp.square(G_h) * gamma_prev
               + (1.0 - _ALPHA_SNR) * jnp.maximum(snr_gamma - 1.0, 0.0))
     return snr_gamma, snr_xi

@@ -185,9 +185,12 @@ def rt_vts_track(model: VTSModel, O: jnp.ndarray, alpha: float = 0.9
         signal_hat = o - exp_sig
         noise_hat = o - exp_noi
         p_l = jnp.sum(p, axis=1)[:, None]                # [L, 1]
-        g_mu = alpha * m.g_mu + (1 - alpha) * p_l * noise_hat[None]
+        # convex posterior-gated recursion: effective rate (1-alpha)*p_l,
+        # complement stays on the old value (weights sum to 1 per component)
+        rate = (1 - alpha) * p_l
+        g_mu = (1 - rate) * m.g_mu + rate * noise_hat[None]
         dev = jnp.square(noise_hat[None] - g_mu)
-        g_var = jnp.maximum(alpha * m.g_var + (1 - alpha) * p_l * dev, 1e-6)
+        g_var = jnp.maximum((1 - rate) * m.g_var + rate * dev, 1e-6)
         m = m._replace(g_mu=g_mu, g_var=g_var)
         return m, (signal_hat, jnp.sum(p_l * g_mu, axis=0))
 

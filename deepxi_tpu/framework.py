@@ -56,8 +56,9 @@ class DeepXiTPU:
 
         self.inp_tgt = inp_tgt_selector(
             cfg.inp_tgt_type, cfg.N_d, cfg.N_s, cfg.K, cfg.f_s,
-            map_type=cfg.map_type, map_params=cfg.map_params, gain=cfg.gain
-            if isinstance(cfg.gain, str) else cfg.gain[0])
+            map_type=cfg.map_type, map_params=cfg.map_params,
+            Noutp=cfg.Noutp,
+            gain=cfg.gain if isinstance(cfg.gain, str) else cfg.gain[0])
 
         stats_path = os.path.join(cfg.data_path, f"{cfg.ver}_stats.npz")
         if os.path.exists(stats_path) and not cfg.reset_inp_tgt:
@@ -196,16 +197,20 @@ class DeepXiTPU:
         losses: List[float] = []
         for epoch in range(cfg.resume_epoch, cfg.max_epochs):
             t0 = time.time()
-            ep_loss, n_steps = 0.0, 0
+            # keep per-step losses on device: a float() per step would force
+            # a host sync and serialize dispatch against the loader
+            step_losses = []
+            n_steps = 0
             for s, d, s_len, d_len, snr in loader.epoch(epoch):
                 key, k2 = jax.random.split(key)
                 batch = shard_batch(self.mesh, (jnp.asarray(s), jnp.asarray(d)))
                 state, metrics = train_step(state, k2, batch[0], batch[1],
                                             jnp.asarray(s_len), jnp.asarray(d_len),
                                             jnp.asarray(snr))
-                ep_loss += float(metrics["loss"])
+                step_losses.append(metrics["loss"])
                 n_steps += 1
-            mean_loss = ep_loss / max(n_steps, 1)
+            mean_loss = float(np.mean([float(l) for l in step_losses])) \
+                if step_losses else 0.0
             val_loss = None
             if val_set:
                 vl, vn = 0.0, 0
@@ -517,8 +522,13 @@ class DeepXiTPU:
                 for sl in snr_levels:
                     f.write(f"{ns},{sl}")
                     for m in metrics:
+                        # always emit the cell so columns stay aligned with
+                        # the header even when one metric failed (e.g. STOI
+                        # on a too-short utterance)
                         if (ns, sl, m) in results:
                             f.write(",{:.2f}".format(np.mean(results[(ns, sl, m)])))
+                        else:
+                            f.write(",")
                     f.write("\n")
 
         avg: Dict[str, List[float]] = {}
@@ -537,4 +547,6 @@ class DeepXiTPU:
             for m in metrics:
                 if m in avg:
                     f.write(",{:.2f}".format(np.mean(avg[m])))
+                else:
+                    f.write(",")
             f.write("\n")

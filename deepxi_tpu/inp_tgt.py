@@ -244,7 +244,9 @@ class MagSMM(InpTgtBase):
     def example(self, key, s, d, s_len, d_len, snr):
         s, d, x, n_frames = self.mix(key, s, d, s_len, d_len, snr)
         s_STMS, x_STMS = self._stms(s), self._stms(x)
-        smm = jnp.clip(s_STMS / x_STMS, 0.0, 5.0)
+        # floor the denominator: padded frames are all-zero and 0/0 NaNs
+        # would poison the masked loss (NaN * mask0 = NaN)
+        smm = jnp.clip(s_STMS / jnp.maximum(x_STMS, 1e-12), 0.0, 5.0)
         return x_STMS, smm, n_frames
 
     def enhanced_speech(self, x_STMS, x_STPS, smm_hat, gtype: str = None):

@@ -11,6 +11,7 @@ objective quality measures for speech enhancement", IEEE TASLP 2008).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -84,14 +85,10 @@ def llr(clean: np.ndarray, enhanced: np.ndarray, fs: int,
     return float(np.mean(vals))
 
 
-_WSS_CB = None
-
-
+@functools.lru_cache(maxsize=None)
 def _wss_filters(fs: int, nfft: int):
-    """25 critical-band Gaussian filters for WSS (Klatt 1982 band centres)."""
-    global _WSS_CB
-    if _WSS_CB is not None:
-        return _WSS_CB
+    """25 critical-band Gaussian filters for WSS (Klatt 1982 band centres),
+    cached per (fs, nfft)."""
     cent = np.array([50.0, 120.0, 190.0, 260.0, 330.0, 400.0, 470.0, 540.0,
                      617.372, 703.378, 798.717, 904.128, 1020.38, 1148.30,
                      1288.72, 1442.54, 1610.70, 1794.16, 1993.93, 2211.08,
@@ -107,11 +104,9 @@ def _wss_filters(fs: int, nfft: int):
     for i in range(25):
         f0 = cent[i]
         b = bw[i]
-        norm_arg = -11.0 * (((f - f0) / b) ** 2) + np.log10(1.0) * 0
         g = np.exp(-11.0 * (((f - f0) / b) ** 2))
         g[g < min_factor] = 0.0
         filt[i] = g
-    _WSS_CB = filt
     return filt
 
 
