@@ -147,10 +147,11 @@ class DeepXiTPU:
         x_s = np.zeros_like(s_s)
         wl = np.zeros(sample_size, np.int32)
         key = jax.random.PRNGKey(cfg.seed)
+        mix = self._jitted("mix", self.inp_tgt.mix)
         for j, i in enumerate(idx_s):
             s, d, s_len, d_len, snr = loader._load_batch([self.train_s_list[i]])
             key, k2 = jax.random.split(key)
-            s_f, d_f, x_f, _ = self.inp_tgt.mix(
+            s_f, d_f, x_f, _ = mix(
                 k2, jnp.asarray(s), jnp.asarray(d), jnp.asarray(s_len),
                 jnp.asarray(d_len), jnp.asarray(snr))
             n = int(s_len[0])
@@ -238,18 +239,20 @@ class DeepXiTPU:
         s, d, s_len, d_len, snr = loader._load_batch(
             self.train_s_list[: cfg.mbatch_size])
         key = jax.random.PRNGKey(cfg.seed + 99)
-        inp, tgt, nf = self.inp_tgt.example(key, jnp.asarray(s), jnp.asarray(d),
-                                            jnp.asarray(s_len), jnp.asarray(d_len),
-                                            jnp.asarray(snr))
+        example = self._jitted("example", self.inp_tgt.example)
+        inp, tgt, nf = example(key, jnp.asarray(s), jnp.asarray(d),
+                               jnp.asarray(s_len), jnp.asarray(d_len),
+                               jnp.asarray(snr))
         T = inp.shape[1]
         seq_mask = (jnp.arange(T)[None] < nf[:, None]).astype(jnp.float32)
         _save_mat("./inp_batch.mat", np.asarray(inp), "inp_batch")
         _save_mat("./tgt_batch.mat", np.asarray(tgt), "tgt_batch")
         _save_mat("./seq_mask_batch.mat", np.asarray(seq_mask), "seq_mask_batch")
         print("Testing if add_noise() works correctly...")
-        s_f, d_f, _, _ = self.inp_tgt.mix(key, jnp.asarray(s), jnp.asarray(d),
-                                          jnp.asarray(s_len), jnp.asarray(d_len),
-                                          jnp.asarray(snr))
+        mix = self._jitted("mix", self.inp_tgt.mix)
+        s_f, d_f, _, _ = mix(key, jnp.asarray(s), jnp.asarray(d),
+                             jnp.asarray(s_len), jnp.asarray(d_len),
+                             jnp.asarray(snr))
         for i in range(len(s)):
             actual = float(sig.snr_db(s_f[i, :s_len[i]], d_f[i, :s_len[i]]))
             print("SNR target|actual: {:.2f}|{:.2f} (dB).".format(float(snr[i]), actual))
@@ -272,6 +275,17 @@ class DeepXiTPU:
         results = {}
         res_dir = os.path.join(cfg.log_path, "results")
         os.makedirs(res_dir, exist_ok=True)
+        it = self.inp_tgt
+
+        def _mix_xi(key, s, d, s_len, d_len, snr):
+            s_f, d_f, x_f, nf = it.mix(key, s, d, s_len, d_len, snr)
+            S, D, X = it._stms(s_f)[0], it._stms(d_f)[0], it._stms(x_f)[0]
+            return sig.xi(S, D), X, nf
+
+        mix_xi = self._jitted("sd_mix", _mix_xi)
+        xi_inv = self._jitted("xi_hat", it.xi_hat)
+        sd_fn = self._jitted("sd_metric", sig.spectral_distortion)
+
         for e in epochs:
             p = params if params is not None else self.load_epoch(e)
             rows = []
@@ -283,18 +297,13 @@ class DeepXiTPU:
                     s = jnp.asarray(np.pad(s_batch[i], (0, max(L - s_batch.shape[1], 0)))[:L])[None]
                     d = jnp.asarray(np.pad(d_batch[j], (0, max(L - d_batch.shape[1], 0)))[:L])[None]
                     key = jax.random.PRNGKey(cfg.seed + 7)
-                    s_f, d_f, x_f, nf = self.inp_tgt.mix(
+                    xi_full, X, nf = mix_xi(
                         key, s, d, jnp.asarray([min(int(s_lens[i]), L)], jnp.int32),
                         jnp.asarray([min(int(d_lens[j]), L)], jnp.int32),
                         jnp.asarray([float(snr_level)]))
-                    S = self.inp_tgt._stms(s_f)[0]
-                    D = self.inp_tgt._stms(d_f)[0]
-                    X = self.inp_tgt._stms(x_f)[0]
                     n = int(nf[0])
-                    xi_inst = sig.xi(S, D)[:n]
                     tgt_hat = apply_fn(p, X[None])[0][:n]
-                    xi_hat = self.inp_tgt.xi_hat(tgt_hat)
-                    sd = float(sig.spectral_distortion(xi_inst, xi_hat))
+                    sd = float(sd_fn(xi_full[:n], xi_inv(tgt_hat)))
                     vals.append(sd)
                 results[(e, snr_level)] = float(np.mean(vals))
                 rows.append((snr_level, float(np.mean(vals))))
@@ -321,9 +330,10 @@ class DeepXiTPU:
             L = bucket_length(int(s_len[sl].max()), cfg.N_s)
             s = jnp.asarray(val_s[sl, :L])
             d = jnp.asarray(val_d[sl, :L])
-            inp, tgt, nf = self.inp_tgt.example(key, s, d, jnp.asarray(s_len[sl]),
-                                                jnp.asarray(d_len[sl]),
-                                                jnp.asarray(snr[sl], jnp.float32))
+            example = self._jitted("example", self.inp_tgt.example)
+            inp, tgt, nf = example(key, s, d, jnp.asarray(s_len[sl]),
+                                   jnp.asarray(d_len[sl]),
+                                   jnp.asarray(snr[sl], jnp.float32))
             T = inp.shape[1]
             mask = (jnp.arange(T)[None] < nf[:, None]).astype(jnp.float32)
             out.append((inp, tgt, mask))
@@ -343,11 +353,23 @@ class DeepXiTPU:
         state = restore_checkpoint(model_dir, epoch - 1, state)
         return state.params
 
+    def _jitted(self, key: str, fn):
+        """Per-instance jit cache: every device op in infer/test must run
+        under jit (eager complex intermediates are UNIMPLEMENTED on this TPU
+        runtime -- see .claude/skills/verify/SKILL.md)."""
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = self._jit_cache = {}
+        if key not in cache:
+            cache[key] = jax.jit(fn)
+        return cache[key]
+
     def _observe(self, wav: np.ndarray, length: int):
         L = bucket_length(length, self.cfg.N_s)
         w = np.zeros(L, np.int16)
         w[:length] = wav[:length]
-        inp, sup = self.inp_tgt.observation(jnp.asarray(w))
+        observe = self._jitted("observation", self.inp_tgt.observation)
+        inp, sup = observe(jnp.asarray(w))
         return inp, sup, self.inp_tgt.n_frames(length)
 
     def infer(self, params=None, test_x_path: Optional[str] = None,
@@ -402,39 +424,45 @@ class DeepXiTPU:
             if cfg.saved_data_path is not None and cfg.inp_tgt_type == "MagGamma":
                 from scipy.io import loadmat
                 xi_hat = loadmat(os.path.join(cfg.saved_data_path, name + ".mat"))["xi_hat"]
-                y = it.enhanced_speech(inp, sup, tgt_hat, g, xi_hat=jnp.asarray(xi_hat))
+                enh = self._jitted(f"enh_gamma_{g}",
+                                   lambda i, s, t, xh: it.enhanced_speech(
+                                       i, s, t, g, xi_hat=xh))
+                y = enh(inp, sup, tgt_hat, jnp.asarray(xi_hat))
             else:
-                y = it.enhanced_speech(inp, sup, tgt_hat, g)
+                enh = self._jitted(f"enh_{g}",
+                                   lambda i, s, t: it.enhanced_speech(i, s, t, g))
+                y = enh(inp, sup, tgt_hat)
             path = os.path.join(out_dir, name + ".wav")
             save_wav(path, np.asarray(y), cfg.f_s)
             return path
         if out_type == "xi_hat":
-            data, key = np.asarray(it.xi_hat(tgt_hat)), "xi_hat"
+            data, key = np.asarray(self._jitted("xi_hat", it.xi_hat)(tgt_hat)), "xi_hat"
         elif out_type == "gamma_hat":
-            data, key = np.asarray(it.gamma_hat(tgt_hat)), "gamma_hat"
+            data, key = np.asarray(self._jitted("gamma_hat", it.gamma_hat)(tgt_hat)), "gamma_hat"
         elif out_type == "mag_hat":
-            data, key = np.asarray(it.mag_hat(tgt_hat)), "mag_hat"
+            data, key = np.asarray(self._jitted("mag_hat", it.mag_hat)(tgt_hat)), "mag_hat"
         elif out_type == "deepmmse":
-            xi_hat = it.xi_hat(tgt_hat)
-            data = np.asarray(jnp.square(inp) * gfunc(xi_hat, xi_hat + 1.0, "deepmmse"))
-            key = "d_psd_hat"
+            fn = self._jitted("deepmmse", lambda i, t: jnp.square(i) * gfunc(
+                it.xi_hat(t), it.xi_hat(t) + 1.0, "deepmmse"))
+            data, key = np.asarray(fn(inp, tgt_hat)), "d_psd_hat"
         elif out_type == "ibm_hat":
-            data = (np.asarray(it.xi_hat(tgt_hat)) > 1.0).astype(bool)
+            data = (np.asarray(self._jitted("xi_hat", it.xi_hat)(tgt_hat)) > 1.0).astype(bool)
             key = "ibm_hat"
         elif out_type == "subband_ibm_hat":
-            xi_sub = np.asarray(it.xi_hat(tgt_hat)) @ mel_bank.T
+            xi_sub = np.asarray(self._jitted("xi_hat", it.xi_hat)(tgt_hat)) @ mel_bank.T
             data, key = (xi_sub > 1.0).astype(bool), "subband_ibm_hat"
         elif out_type == "cd_hat":
-            data, key = np.asarray(it.cd_hat(tgt_hat)), "cd_hat"
+            data, key = np.asarray(self._jitted("cd_hat", it.cd_hat)(tgt_hat)), "cd_hat"
         elif out_type == "d_hat":
             # noise waveform estimate via the DeepMMSE noise PSD
             # (documented but unimplemented in the reference,
             # ref: deepxi/args.py:64)
-            xi_hat = it.xi_hat(tgt_hat)
-            d_psd = jnp.square(inp) * gfunc(xi_hat, xi_hat + 1.0, "deepmmse")
-            d_wav = it.polar_synthesis(jnp.sqrt(jnp.maximum(d_psd, 0.0)), sup)
+            fn = self._jitted("d_hat", lambda i, s, t: it.polar_synthesis(
+                jnp.sqrt(jnp.maximum(
+                    jnp.square(i) * gfunc(it.xi_hat(t), it.xi_hat(t) + 1.0,
+                                          "deepmmse"), 0.0)), s))
             path = os.path.join(out_dir, name + ".wav")
-            save_wav(path, np.asarray(d_wav), cfg.f_s)
+            save_wav(path, np.asarray(fn(inp, sup, tgt_hat)), cfg.f_s)
             return path
         else:
             raise ValueError(f"Invalid output type: {out_type!r}")
@@ -469,11 +497,14 @@ class DeepXiTPU:
             p = params if params is not None else self.load_epoch(e)
             for g in gains:
                 results: Dict[Tuple, List[float]] = {}
+                enh = self._jitted(f"enh_{g}",
+                                   lambda i, s, t: self.inp_tgt.enhanced_speech(
+                                       i, s, t, g))
                 for i, name in enumerate(x_names):
                     inp, sup, n_frames = self._observe(x_batch[i], int(x_lens[i]))
                     tgt_hat = apply_fn(p, inp[None])[0]
-                    y = np.asarray(self.inp_tgt.enhanced_speech(
-                        inp[:n_frames], sup[:n_frames], tgt_hat[:n_frames], g))
+                    y = np.asarray(enh(inp[:n_frames], sup[:n_frames],
+                                       tgt_hat[:n_frames]))
 
                     ref_idx = next(j for j, b in enumerate(s_names) if b in name)
                     s = s_batch[ref_idx, :s_lens[ref_idx]].astype(np.float32) / 32768.0
