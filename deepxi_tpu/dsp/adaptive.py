@@ -63,6 +63,15 @@ def lms(x: jnp.ndarray, d: jnp.ndarray, n_taps: int = 64, mu: float = 0.01
     return y, e, w
 
 
+def cancel_noise(primary: jnp.ndarray, reference: jnp.ndarray,
+                 n_taps: int = 64, mu: float = 0.5) -> jnp.ndarray:
+    """Adaptive noise cancellation (ref: aptfilt/anc.py:70): the NLMS filter
+    models the reference-to-primary noise path; the error signal is the
+    cleaned output."""
+    _, e, _ = nlms(reference, primary, n_taps=n_taps, mu=mu)
+    return e
+
+
 def block_nlms(x: jnp.ndarray, d: jnp.ndarray, n_taps: int = 64,
                mu: float = 0.5, eps: float = 1e-3, block: int = 256
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

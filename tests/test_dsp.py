@@ -187,3 +187,18 @@ class TestMCRATBRR:
         assert (pv >= 0).all() and (pv <= 1.0 + 1e-6).all()
         ratio = np.asarray(ld[-1]) / noise_psd
         assert np.median(ratio) < 5.0
+
+
+class TestANC:
+    def test_cancel_noise(self):
+        from deepxi_tpu.dsp.adaptive import cancel_noise
+        rng = np.random.RandomState(8)
+        ref = rng.randn(8000).astype(np.float32)           # noise reference
+        path = np.array([0.8, -0.2, 0.1], np.float32)       # acoustic path
+        speech = 0.3 * np.sin(2 * np.pi * 300 * np.arange(8000) / 16000)
+        primary = (speech + np.convolve(ref, path)[:8000]).astype(np.float32)
+        out = np.asarray(cancel_noise(jnp.asarray(primary), jnp.asarray(ref),
+                                      n_taps=8))
+        # cleaned tail approaches the speech component
+        err = out[-2000:] - speech[-2000:]
+        assert np.mean(err ** 2) < 0.01
