@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", type=str, default=None,
                    help="Force a JAX platform (cpu/tpu); overrides any "
                         "site-level backend registration")
+    p.add_argument("--attention_impl", type=str, default=None,
+                   help="MHANet attention: 'full' or 'block' (long audio)")
+    p.add_argument("--block_q", type=int, default=None)
+    p.add_argument("--import_stats", type=str, default=None,
+                   help="Adopt map statistics from a reference "
+                        "<ver>_inp_tgt.p pickle (parity runs)")
     return p
 
 
@@ -118,6 +124,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                                   "noise", cfg.data_path)
 
     deepxi = DeepXiTPU(cfg, train_s_list, train_d_list)
+    if cfg.import_stats:
+        print(f"adopted reference statistics from {cfg.import_stats}")
 
     if cfg.train:
         deepxi.train()

@@ -99,6 +99,9 @@ class Config:
     outp_act: str = "Sigmoid"
     max_len: Optional[int] = None
     Noutp: Optional[int] = None  # MagPhonemes class count (ref: args.py:117)
+    attention_impl: str = "full"  # "block": O(T*block_q) long-audio attention
+    block_q: int = 256
+    import_stats: Optional[str] = None  # reference <ver>_inp_tgt.p to adopt
 
     # map
     map_type: Any = "DBNormalCDF"
@@ -143,7 +146,7 @@ class Config:
         return {k: getattr(self, k) for k in
                 ("d_model", "n_blocks", "n_heads", "d_f", "k", "max_d_rate",
                  "causal", "unit_type", "outp_act", "max_len", "length", "m_1",
-                 "warmup_steps")}
+                 "warmup_steps", "attention_impl", "block_q")}
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -61,7 +61,12 @@ class DeepXiTPU:
             gain=cfg.gain if isinstance(cfg.gain, str) else cfg.gain[0])
 
         stats_path = os.path.join(cfg.data_path, f"{cfg.ver}_stats.npz")
-        if os.path.exists(stats_path) and not cfg.reset_inp_tgt:
+        if cfg.import_stats:
+            # adopt the reference's exact statistics (parity runs) instead
+            # of bootstrapping from a training sample
+            self.import_reference_stats(cfg.import_stats)
+            self._save_stats(stats_path)
+        elif os.path.exists(stats_path) and not cfg.reset_inp_tgt:
             self.inp_tgt = self._load_stats(stats_path)
         elif self._needs_stats():
             s, d, x, wl = self.sample(cfg.sample_size)

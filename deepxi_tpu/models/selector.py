@@ -37,11 +37,12 @@ def network_selector(network_type: str, n_outp: int, **kwargs: Any) -> nn.Module
             "d_model", "n_blocks", "n_heads", "causal", "outp_act", "warmup_steps"))
     if network_type == "MHANetV2":
         return MHANetV2(n_outp=n_outp, **pick(
-            "d_model", "n_blocks", "n_heads", "causal", "outp_act", "warmup_steps"))
+            "d_model", "n_blocks", "n_heads", "causal", "outp_act",
+            "warmup_steps", "attention_impl", "block_q"))
     if network_type == "MHANetV3":
         return MHANetV3(n_outp=n_outp, **pick(
-            "d_model", "n_blocks", "n_heads", "causal", "outp_act", "warmup_steps",
-            "max_len"))
+            "d_model", "n_blocks", "n_heads", "causal", "outp_act",
+            "warmup_steps", "max_len", "attention_impl", "block_q"))
     if network_type == "ResNet":
         return ResNet(n_outp=n_outp, **pick(
             "d_model", "n_blocks", "d_f", "k", "max_d_rate", "causal", "outp_act"))
