@@ -367,7 +367,14 @@ class MagPhonemes(InpTgtBase):
     Targets are one-hot phoneme labels (built by
     deepxi_tpu.dsp.labels.one_hot_targets from forced alignments); the
     noisy-mixture example path mirrors phoneme_mbatch_gen_aug
-    (ref: deepxi/model.py:2061-2112)."""
+    (ref: deepxi/model.py:2061-2112).
+
+    NOTE: the stock trainer (training.make_train_step / MiniBatchLoader)
+    covers the SNR-target families; phoneme-classifier training additionally
+    needs per-file label plumbing through the loader (the fork reads labels
+    from alignment CSVs at list-build time, ref: deepxi/utils.py:205-267).
+    example() takes the labels explicitly; wiring them through a labelled
+    loader is a planned extension."""
     n_phonemes: int = struct.field(pytree_node=False, default=98)
     mixmax_model: Any = None   # optional dsp.mixmax.MixMaxModel
 
