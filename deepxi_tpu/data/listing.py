@@ -92,6 +92,45 @@ def val_wav_batch(val_s_dir: str, val_d_dir: str
             np.asarray(d_lens, np.int32), np.asarray(snrs, np.int32))
 
 
+def batch_list_labelled(file_dir: str, ali_path: str, lexicon_path: str,
+                        list_name: str, data_path: str = "data",
+                        frame_ms: float = 16.0,
+                        make_new: bool = False) -> List[Dict]:
+    """Training list with per-frame phoneme labels from a forced alignment
+    (ref: deepxi/utils.py:205-267 batch_list_phoneme, minus its hard-coded
+    lexicon path). Items carry `labels`: an int32 array at the STFT frame
+    rate (frame_ms defaults to the 16 ms hop).
+    """
+    import numpy as _np
+
+    from deepxi_tpu.dsp.labels import frame_labels, read_alignment
+    from deepxi_tpu.dsp.phoneme import Phoneme
+
+    cache = os.path.join(data_path,
+                         f"{list_name}_labelled_list_{platform.node()}.p")
+    if not make_new and os.path.exists(cache):
+        with open(cache, "rb") as f:
+            cached = pickle.load(f)
+        if cached and cached[0]["file_path"].find(file_dir) != -1:
+            return cached
+
+    ph = Phoneme(lexicon_path)
+    ali = read_alignment(ali_path)
+    out: List[Dict] = []
+    for item in batch_list(file_dir, list_name, data_path, make_new):
+        key = os.path.splitext(os.path.basename(item["file_path"]))[0]
+        if key not in ali:
+            continue
+        n_frames = -(-item["wav_len"] // int(16 * frame_ms))
+        labels = frame_labels(ali[key], n_frames, ph.tkn_dict.entry2Index,
+                              frame_ms=frame_ms, fill="|")
+        out.append(dict(item, labels=_np.asarray(labels, _np.int32)))
+    os.makedirs(data_path, exist_ok=True)
+    with open(cache, "wb") as f:
+        pickle.dump(out, f)
+    return out
+
+
 def test_batch(test_dir: str):
     """Test-set loader (ref: deepxi/se_batch.py:12-55): pad all wavs to the
     longest, return (batch int16 [N, L], lengths, snrs, basenames)."""

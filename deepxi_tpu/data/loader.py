@@ -47,7 +47,8 @@ class MiniBatchLoader:
     def __init__(self, train_s_list: List[Dict], train_d_list: List[Dict],
                  mbatch_size: int, snr_levels: List[int], seed: int = 0,
                  N_s: int = 256, frames_per_bucket: int = 32,
-                 prefetch: int = 4):
+                 prefetch: int = 4, with_labels: bool = False):
+        self.with_labels = with_labels
         self.s_list = list(train_s_list)
         self.d_list = list(train_d_list)
         self.mbatch_size = mbatch_size
@@ -67,6 +68,10 @@ class MiniBatchLoader:
         d = np.zeros((B, L), np.int16)
         s_len = np.zeros(B, np.int32)
         d_len = np.zeros(B, np.int32)
+        # per-frame phoneme labels ride along when requested and the list
+        # carries them (batch_list_labelled items; MagPhonemes training)
+        labelled = self.with_labels and all("labels" in it for it in s_items)
+        labels = np.zeros((B, L // self.N_s), np.int32) if labelled else None
         for i, item in enumerate(s_items):
             wav, _ = read_wav(item["file_path"])
             n = min(len(wav), L)
@@ -86,7 +91,12 @@ class MiniBatchLoader:
                 d_wav = d_wav[off:off + L]
             d[i, :len(d_wav)] = d_wav
             d_len[i] = min(len(d_wav), L)
+            if labelled:
+                lab = item["labels"][: labels.shape[1]]
+                labels[i, :len(lab)] = lab
         snr = self.rng.choice(self.snr_levels, B).astype(np.float32)
+        if labelled:
+            return s, d, s_len, d_len, snr, labels
         return s, d, s_len, d_len, snr
 
     def epoch(self, epoch_idx: int) -> Iterator[Tuple[np.ndarray, ...]]:

@@ -5,6 +5,7 @@ from deepxi_tpu.training.trainer import (
     append_loss_csv,
     make_eval_step,
     make_optimizer,
+    make_phoneme_train_step,
     make_train_step,
     masked_loss,
     restore_checkpoint,
@@ -12,6 +13,6 @@ from deepxi_tpu.training.trainer import (
     transformer_schedule,
 )
 
-__all__ = ["TrainState", "append_loss_csv", "make_eval_step", "make_optimizer",
+__all__ = ["TrainState", "append_loss_csv", "make_eval_step", "make_optimizer", "make_phoneme_train_step",
            "make_train_step", "masked_loss", "restore_checkpoint",
            "save_checkpoint", "transformer_schedule"]

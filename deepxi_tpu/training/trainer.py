@@ -107,6 +107,31 @@ def make_train_step(network, inp_tgt, tx,
     return train_step
 
 
+def make_phoneme_train_step(network, inp_tgt, tx) -> Callable:
+    """Train step for the phoneme-classifier mode (MagPhonemes): targets are
+    per-frame label one-hots carried by the labelled loader
+    (ref: deepxi/model.py:2061-2112 phoneme_mbatch_gen_aug). Signature:
+    (state, key, s, d, s_len, d_len, snr, labels) -> (state, metrics)."""
+
+    def loss_fn(params, key, s, d, s_len, d_len, snr, labels):
+        inp, tgt, n_frames = inp_tgt.example(key, s, d, s_len, d_len, snr,
+                                             labels=labels)
+        T = inp.shape[1]
+        seq_mask = (jnp.arange(T)[None, :] < n_frames[:, None]).astype(jnp.float32)
+        pred = network.apply(params, inp)
+        return masked_loss(pred, tgt, seq_mask, "BinaryCrossentropy")
+
+    def train_step(state: TrainState, key, s, d, s_len, d_len, snr, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, key, s, d, s_len, d_len, snr, labels)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), {"loss": loss}
+
+    return train_step
+
+
 def make_eval_step(network, inp_tgt, loss_fnc: str = "BinaryCrossentropy"):
     """Validation step on precomputed (inp, tgt, seq_mask) batches
     (ref: deepxi/model.py:2190-2230)."""

@@ -82,3 +82,61 @@ class TestMagPhonemes:
         with pytest.raises(ValueError):
             it.enhanced_speech(jnp.ones((4, 257)), jnp.zeros((4, 257)), None,
                                "mmse-lsa")
+
+
+class TestPhonemeTraining:
+    def test_labelled_list_loader_and_train_step(self, tmp_path):
+        """End-to-end phoneme-classifier training: alignment file ->
+        labelled list -> labelled loader -> phoneme train step; loss drops."""
+        from deepxi_tpu.data import MiniBatchLoader, batch_list_labelled, save_wav
+        from deepxi_tpu.models import network_selector
+        from deepxi_tpu.training import (TrainState, make_optimizer,
+                                         make_phoneme_train_step)
+
+        fs = 16000
+        rng = np.random.RandomState(0)
+        lex = tmp_path / "lex.txt"
+        lex.write_text("b  | b\nan | a n\n")
+        wav_dir = tmp_path / "wavs"
+        ali_lines = []
+        for i in range(4):
+            n = 8192 + 1024 * i
+            save_wav(str(wav_dir / f"u{i}.wav"),
+                     (rng.randn(n) * 3000).astype(np.int16), fs)
+            dur = n / fs
+            ali_lines.append(f"u{i}\n0.00 {dur/2:.2f} b\n{dur/2:.2f} {dur:.2f} a1\n.")
+        ali = tmp_path / "out.ali"
+        ali.write_text("\n".join(ali_lines) + "\n")
+
+        items = batch_list_labelled(str(wav_dir), str(ali), str(lex), "pho",
+                                    data_path=str(tmp_path / "data"))
+        assert len(items) == 4 and "labels" in items[0]
+
+        noise = [{"file_path": str(wav_dir / "u3.wav"), "wav_len": 8192 + 3072}]
+        loader = MiniBatchLoader(items, noise, 2, [0, 5], with_labels=True)
+        batch = loader._load_batch(items[:2])
+        assert len(batch) == 6
+        s, d, s_len, d_len, snr, labels = batch
+        assert labels.shape[1] == s.shape[1] // 256
+
+        from deepxi_tpu.inp_tgt import inp_tgt_selector
+        n_pho = 12
+        it = inp_tgt_selector("MagPhonemes", N_d=512, N_s=256, K=512,
+                              f_s=16000, Noutp=n_pho)
+        net = network_selector("ResNetV2", n_pho, d_model=32, n_blocks=2,
+                               d_f=16, k=3, max_d_rate=2, causal=True,
+                               unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
+        tx = make_optimizer("ResNetV2")
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 257)))
+        state = TrainState.create(params, tx)
+        step = jax.jit(make_phoneme_train_step(net, it, tx))
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(10):
+            key, k = jax.random.split(key)
+            state, m = step(state, k, jnp.asarray(s), jnp.asarray(d),
+                            jnp.asarray(s_len), jnp.asarray(d_len),
+                            jnp.asarray(snr), jnp.asarray(labels))
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
