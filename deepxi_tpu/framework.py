@@ -380,9 +380,16 @@ class DeepXiTPU:
     def infer(self, params=None, test_x_path: Optional[str] = None,
               out_type: Optional[str] = None,
               gains: Optional[Sequence[str]] = None,
-              epochs: Optional[Sequence[int]] = None) -> List[str]:
+              epochs: Optional[Sequence[int]] = None,
+              fast: bool = True) -> List[str]:
         """Inference driver with all output types (ref: deepxi/model.py:224-332).
-        Returns the list of written artifact paths."""
+        Returns the list of written artifact paths.
+
+        With ``fast=True`` (default) the `y` output of gain-form families
+        runs through the fused single-jit pipeline with utterances batched
+        per length bucket (the reference predicts batch_size=1 per utterance,
+        ref: deepxi/model.py:286); other out_types and families use the
+        per-utterance path."""
         cfg = self.cfg
         out_type = out_type or cfg.out_type
         gains = list(gains) if gains else (
@@ -390,6 +397,11 @@ class DeepXiTPU:
         epochs = list(epochs) if epochs else (
             cfg.test_epoch if isinstance(cfg.test_epoch, list) else [cfg.test_epoch])
         x_batch, x_lens, _, names = test_batch(test_x_path or cfg.test_x_path)
+
+        if (fast and out_type == "y"
+                and type(self.inp_tgt).__name__ in
+                ("MagXi", "MagXiGamma", "MagGain", "MagSMM", "MagMag")):
+            return self._infer_fast(params, x_batch, x_lens, names, gains, epochs)
 
         mel_bank = None
         if out_type == "subband_ibm_hat":
@@ -418,6 +430,53 @@ class DeepXiTPU:
                     path = self._write_output(out_dir, name, out_type, g,
                                               inp_v, sup_v, tgt_v, mel_bank)
                     written.append(path)
+        return written
+
+    def _infer_fast(self, params, x_batch, x_lens, names, gains, epochs,
+                    max_batch: int = 32) -> List[str]:
+        """Bucketed-batch fused enhancement (deepxi_tpu.enhance): utterances
+        grouped by padded length, whole wav->wav pipeline in one jit per
+        bucket shape."""
+        from deepxi_tpu.enhance import make_enhancer
+
+        cfg = self.cfg
+        # group utterance indices by bucket length
+        buckets: Dict[int, List[int]] = {}
+        for i, ln in enumerate(x_lens):
+            buckets.setdefault(bucket_length(int(ln), cfg.N_s), []).append(i)
+
+        written: List[str] = []
+        for e in epochs:
+            if e < 1:
+                raise ValueError("test_epoch must be greater than 0")
+            p = params if params is not None else self.load_epoch(e)
+            for g in gains:
+                sub = "y" if cfg.inp_tgt_type in ("MagGain", "MagMag") \
+                    else os.path.join("y", g)
+                out_dir = os.path.join(cfg.out_path, cfg.ver, f"e{e}", sub)
+                os.makedirs(out_dir, exist_ok=True)
+                cache = getattr(self, "_jit_cache", None) or {}
+                self._jit_cache = cache
+                if f"fast_enh_{g}" not in cache:
+                    cache[f"fast_enh_{g}"] = make_enhancer(self.inp_tgt,
+                                                           self.network, g)
+                enhance = cache[f"fast_enh_{g}"]
+                for L, idxs in sorted(buckets.items()):
+                    for j0 in range(0, len(idxs), max_batch):
+                        chunk = idxs[j0:j0 + max_batch]
+                        w = np.zeros((len(chunk), L), np.int16)
+                        for r, i in enumerate(chunk):
+                            n = min(int(x_lens[i]), L)
+                            w[r, :n] = x_batch[i, :n]
+                        y = np.asarray(enhance(p, jnp.asarray(w)))
+                        for r, i in enumerate(chunk):
+                            # full-length iSTFT output for the utterance's
+                            # own frame count (reference keeps the overlap
+                            # tail, ref: deepxi/model.py:311-313)
+                            n_out = (self.inp_tgt.n_frames(int(x_lens[i])) + 1) * cfg.N_s
+                            path = os.path.join(out_dir, names[i] + ".wav")
+                            save_wav(path, y[r, :n_out], cfg.f_s)
+                            written.append(path)
         return written
 
     def _write_output(self, out_dir, name, out_type, g, inp, sup, tgt_hat,

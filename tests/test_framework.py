@@ -161,3 +161,22 @@ class TestCLIConfig:
                                 "--map_params", "neg_40,40;1,2"])
         assert cfg.map_type == ["DBNormalCDF", "Linear"]
         assert cfg.map_params == [[-40, 40], [1, 2]]
+
+
+class TestFastInfer:
+    def test_fast_matches_per_utterance(self, trained):
+        from deepxi_tpu.data import read_wav
+        root, dx, _ = trained
+        slow = dx.infer(out_type="y", epochs=[1], gains=["mmse-lsa"], fast=False)
+        # move slow outputs aside
+        import shutil
+        for p in slow:
+            shutil.move(p, p + ".slow.wav")
+        fast = dx.infer(out_type="y", epochs=[1], gains=["mmse-lsa"], fast=True)
+        assert sorted(fast) == sorted(slow)
+        for p in fast:
+            wf, _ = read_wav(p)
+            ws, _ = read_wav(p + ".slow.wav")
+            n = min(len(wf), len(ws))
+            diff = np.abs(wf[:n].astype(np.int32) - ws[:n].astype(np.int32))
+            assert diff.max() <= 1, diff.max()
