@@ -155,6 +155,15 @@ class DeepXiTPU:
         mix = self._jitted("mix", self.inp_tgt.mix)
         for j, i in enumerate(idx_s):
             s, d, s_len, d_len, snr = loader._load_batch([self.train_s_list[i]])
+            # pad every sample to one common shape ([1, L] speech, [1, 2L]
+            # noise) so the jitted mix compiles once -- per-utterance shapes
+            # caused a compile storm on the remote-compile TPU runtime
+            s = np.pad(s, ((0, 0), (0, L - s.shape[1])))
+            dbuf = np.zeros((1, 2 * L), np.int16)
+            nd = min(d.shape[1], 2 * L)
+            dbuf[:, :nd] = d[:, :nd]
+            d = dbuf
+            d_len = np.minimum(d_len, nd)
             key, k2 = jax.random.split(key)
             s_f, d_f, x_f, _ = mix(
                 k2, jnp.asarray(s), jnp.asarray(d), jnp.asarray(s_len),

@@ -33,14 +33,27 @@ from deepxi_tpu.ops.maps import map_selector
 
 
 def _stack_valid_frames(transform, sample_wavs: np.ndarray, wav_len: np.ndarray,
-                        n_feat: int) -> np.ndarray:
+                        n_feat: int, N_s: int = 256,
+                        chunk: int = 64) -> np.ndarray:
     """Per-utterance spectra stacked over valid frames only, mirroring the
-    reference's stats transform (ref: deepxi/inp_tgt.py:114-139). Host loop:
-    the stats bootstrap is a one-off offline pass."""
+    reference's stats transform (ref: deepxi/inp_tgt.py:114-139).
+
+    The transform runs batched over fixed-shape chunks (one jit compile)
+    and valid frames are sliced afterwards -- zero-padding beyond an
+    utterance's length does not change its first ceil(len/N_s) frames, and
+    per-utterance shapes would trigger a compile per length on the
+    remote-compile TPU runtime."""
+    tf_j = jax.jit(transform)
     out = []
-    for i in range(sample_wavs.shape[0]):
-        S = np.asarray(transform(jnp.asarray(sample_wavs[i, :int(wav_len[i])])))
-        out.append(S.reshape(-1, n_feat))
+    N = sample_wavs.shape[0]
+    for c0 in range(0, N, chunk):
+        rows = sample_wavs[c0:c0 + chunk]
+        if rows.shape[0] < chunk:  # keep one static shape for the last chunk
+            rows = np.pad(rows, ((0, chunk - rows.shape[0]), (0, 0)))
+        S = np.asarray(tf_j(jnp.asarray(rows)))
+        for i in range(min(chunk, N - c0)):
+            n_frames = -(-int(wav_len[c0 + i]) // N_s)
+            out.append(S[i, :n_frames].reshape(-1, n_feat))
     return np.vstack(out)
 
 
@@ -96,8 +109,8 @@ class MagXi(InpTgtBase):
     xi_map: Any = None
 
     def with_stats(self, s_sample, d_sample, x_sample, wav_len):
-        s = _stack_valid_frames(self._stms, s_sample, wav_len, self.n_feat)
-        d = _stack_valid_frames(self._stms, d_sample, wav_len, self.n_feat)
+        s = _stack_valid_frames(self._stms, s_sample, wav_len, self.n_feat, self.N_s)
+        d = _stack_valid_frames(self._stms, d_sample, wav_len, self.n_feat, self.N_s)
         xi_sample = np.asarray(sig.xi(jnp.asarray(s), jnp.asarray(d)))
         return self.replace(xi_map=self.xi_map.with_stats(jnp.asarray(xi_sample)))
 
@@ -129,8 +142,8 @@ class MagGamma(InpTgtBase):
     gamma_map: Any = None
 
     def with_stats(self, s_sample, d_sample, x_sample, wav_len):
-        x = _stack_valid_frames(self._stms, x_sample, wav_len, self.n_feat)
-        d = _stack_valid_frames(self._stms, d_sample, wav_len, self.n_feat)
+        x = _stack_valid_frames(self._stms, x_sample, wav_len, self.n_feat, self.N_s)
+        d = _stack_valid_frames(self._stms, d_sample, wav_len, self.n_feat, self.N_s)
         gamma_sample = np.asarray(sig.gamma(jnp.asarray(x), jnp.asarray(d)))
         return self.replace(gamma_map=self.gamma_map.with_stats(jnp.asarray(gamma_sample)))
 
@@ -170,9 +183,9 @@ class MagXiGamma(InpTgtBase):
         return self.n_feat * 2
 
     def with_stats(self, s_sample, d_sample, x_sample, wav_len):
-        s = _stack_valid_frames(self._stms, s_sample, wav_len, self.n_feat)
-        d = _stack_valid_frames(self._stms, d_sample, wav_len, self.n_feat)
-        x = _stack_valid_frames(self._stms, x_sample, wav_len, self.n_feat)
+        s = _stack_valid_frames(self._stms, s_sample, wav_len, self.n_feat, self.N_s)
+        d = _stack_valid_frames(self._stms, d_sample, wav_len, self.n_feat, self.N_s)
+        x = _stack_valid_frames(self._stms, x_sample, wav_len, self.n_feat, self.N_s)
         xi_map = self.xi_map.with_stats(jnp.asarray(sig.xi(jnp.asarray(s), jnp.asarray(d))))
         gamma_map = self.gamma_map.with_stats(jnp.asarray(sig.gamma(jnp.asarray(x), jnp.asarray(d))))
         return self.replace(xi_map=xi_map, gamma_map=gamma_map)
@@ -221,7 +234,7 @@ class MagMag(InpTgtBase):
     mag_map: Any = None
 
     def with_stats(self, s_sample, d_sample, x_sample, wav_len):
-        s = _stack_valid_frames(self._stms, s_sample, wav_len, self.n_feat)
+        s = _stack_valid_frames(self._stms, s_sample, wav_len, self.n_feat, self.N_s)
         return self.replace(mag_map=self.mag_map.with_stats(jnp.asarray(s)))
 
     def example(self, key, s, d, s_len, d_len, snr):
@@ -276,8 +289,8 @@ class MagPhaXiPha(InpTgtBase):
 
     def with_stats(self, s_sample, d_sample, x_sample, wav_len):
         nb = math.ceil(self.K / 2 + 1)
-        s = _stack_valid_frames(self._stms, s_sample, wav_len, nb)
-        d = _stack_valid_frames(self._stms, d_sample, wav_len, nb)
+        s = _stack_valid_frames(self._stms, s_sample, wav_len, nb, self.N_s)
+        d = _stack_valid_frames(self._stms, d_sample, wav_len, nb, self.N_s)
         xi_map = self.xi_map.with_stats(jnp.asarray(sig.xi(jnp.asarray(s), jnp.asarray(d))))
         return self.replace(xi_map=xi_map)
 
@@ -330,8 +343,8 @@ class STDCTXiCD(InpTgtBase):
         return X, X  # supplementary unused; kept array-shaped for batching
 
     def with_stats(self, s_sample, d_sample, x_sample, wav_len):
-        s = _stack_valid_frames(self._stdct, s_sample, wav_len, self.K)
-        d = _stack_valid_frames(self._stdct, d_sample, wav_len, self.K)
+        s = _stack_valid_frames(self._stdct, s_sample, wav_len, self.K, self.N_s)
+        d = _stack_valid_frames(self._stdct, d_sample, wav_len, self.K, self.N_s)
         xi_map = self.xi_map.with_stats(jnp.asarray(sig.xi(jnp.asarray(s), jnp.asarray(d))))
         cd_map = self.cd_map.with_stats(jnp.asarray(sig.cd(jnp.asarray(s), jnp.asarray(d))))
         return self.replace(xi_map=xi_map, cd_map=cd_map)
