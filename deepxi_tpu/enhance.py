@@ -31,7 +31,8 @@ from deepxi_tpu.sig.mix import normalise
 
 
 def make_enhancer(inp_tgt, network, gtype: str = "mmse-lsa",
-                  precision: str = "highest") -> Callable:
+                  precision: str = "highest",
+                  apply_fn: Optional[Callable] = None) -> Callable:
     """Build `enhance(params, x_int16[B, L]) -> y[B, (T+1)*N_s]`, fully jitted.
 
     Supports every family whose synthesis is a real gain on the noisy
@@ -65,13 +66,15 @@ def make_enhancer(inp_tgt, network, gtype: str = "mmse-lsa",
         raise ValueError(f"{typ} has no gain-form synthesis; "
                          "use inp_tgt.enhanced_speech")
 
+    net_apply = apply_fn if apply_fn is not None else network.apply
+
     @jax.jit
     def enhance(params, x_int16):
         x = normalise(x_int16)
         Y = stft_reim(x, N_d, N_s, K, precision)
         re, im = Y[..., :nb], Y[..., nb:]
         mag = jnp.sqrt(re * re + im * im)
-        tgt_hat = network.apply(params, mag)
+        tgt_hat = net_apply(params, mag)
         G = gain_from_tgt(mag, tgt_hat)
         return synthesis_from_reim(apply_gain_reim(Y, G, K), N_d, N_s, K,
                                    precision)

@@ -1,0 +1,73 @@
+"""Fused multi-block TCN kernel: equivalence with the flax ResNetV2 across
+group sizes, tiles, and nonzero biases (the pre-sequence halo regression)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepxi_tpu.models import network_selector
+from deepxi_tpu.ops.kernels.tcn_fused import resnetv2_apply_fused
+
+
+@pytest.fixture(scope="module")
+def setup():
+    net = network_selector("ResNetV2", 257, d_model=32, n_blocks=10, d_f=16,
+                           k=3, max_d_rate=4, causal=True,
+                           unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
+    rng = np.random.RandomState(0)
+    x = jnp.abs(jnp.asarray(rng.randn(2, 100, 257), jnp.float32))
+    params = net.init(jax.random.PRNGKey(0), x)
+    # nonzero biases: flax inits biases to zero, which hid the pre-sequence
+    # halo bug (trained nets have nonzero biases)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.05 if a.ndim == 1 else a, params)
+    y_ref = np.asarray(net.apply(params, x))
+    return net, params, x, y_ref
+
+
+@pytest.mark.parametrize("group,tile", [(5, 64), (5, 128), (10, 64), (2, 32)])
+def test_matches_flax(setup, group, tile):
+    net, params, x, y_ref = setup
+    y = np.asarray(resnetv2_apply_fused(params, x, n_blocks=10, max_d_rate=4,
+                                        group=group, tile_t=tile))
+    np.testing.assert_allclose(y, y_ref, atol=5e-4)
+
+
+def test_causality_preserved(setup):
+    net, params, x, y_ref = setup
+    x2 = x.at[0, 60].set(x[0, 60] + 5.0)
+    y2 = np.asarray(resnetv2_apply_fused(params, x2, n_blocks=10, max_d_rate=4,
+                                         group=5, tile_t=64))
+    np.testing.assert_allclose(y2[0, :60], y_ref[0, :60], atol=5e-4)
+    assert np.abs(y2[0, 60:] - y_ref[0, 60:]).max() > 1e-4
+
+
+def test_halo_guard():
+    net = network_selector("ResNetV2", 257, d_model=32, n_blocks=10, d_f=16,
+                           k=3, max_d_rate=4, causal=True,
+                           unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
+    x = jnp.zeros((1, 64, 257))
+    params = net.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError):
+        resnetv2_apply_fused(params, x, n_blocks=10, max_d_rate=4,
+                             group=10, tile_t=16)
+
+
+def test_enhancer_with_fused_apply(setup):
+    from deepxi_tpu.enhance import make_enhancer
+    from deepxi_tpu.inp_tgt import inp_tgt_selector
+    net, params, _, _ = setup
+    it = inp_tgt_selector("MagXi", N_d=512, N_s=256, K=512, f_s=16000,
+                          map_type="DBNormalCDF", map_params=None)
+    sample = (np.abs(np.random.RandomState(1).randn(64, 257)) ** 2).astype(np.float32)
+    it = it.replace(xi_map=it.xi_map.with_stats(jnp.asarray(sample)))
+    w = (np.random.RandomState(2).randn(2, 256 * 32) * 3000).astype(np.int16)
+    ref = make_enhancer(it, net, "mmse-lsa")(params, jnp.asarray(w))
+    fused_apply = lambda p, m: resnetv2_apply_fused(p, m, n_blocks=10,
+                                                    max_d_rate=4, group=5,
+                                                    tile_t=64)
+    fast = make_enhancer(it, net, "mmse-lsa", apply_fn=fused_apply)(
+        params, jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-3)
