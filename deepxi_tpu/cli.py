@@ -80,6 +80,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attention_impl", type=str, default=None,
                    help="MHANet attention: 'full' or 'block' (long audio)")
     p.add_argument("--block_q", type=int, default=None)
+    p.add_argument("--tcn_fused", type=str_to_bool, default=None,
+                   help="Fused Pallas TCN kernel in the infer fast path")
     p.add_argument("--import_stats", type=str, default=None,
                    help="Adopt map statistics from a reference "
                         "<ver>_inp_tgt.p pickle (parity runs)")

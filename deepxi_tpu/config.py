@@ -101,6 +101,7 @@ class Config:
     Noutp: Optional[int] = None  # MagPhonemes class count (ref: args.py:117)
     attention_impl: str = "full"  # "block": O(T*block_q) long-audio attention
     block_q: int = 256
+    tcn_fused: bool = False  # fused Pallas TCN in the infer fast path (1.7x)
     import_stats: Optional[str] = None  # reference <ver>_inp_tgt.p to adopt
 
     # map

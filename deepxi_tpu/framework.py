@@ -467,8 +467,16 @@ class DeepXiTPU:
                 cache = getattr(self, "_jit_cache", None) or {}
                 self._jit_cache = cache
                 if f"fast_enh_{g}" not in cache:
-                    cache[f"fast_enh_{g}"] = make_enhancer(self.inp_tgt,
-                                                           self.network, g)
+                    apply_fn = None
+                    if (cfg.tcn_fused and cfg.network_type == "ResNetV2"
+                            and cfg.causal and cfg.unit_type == "ReLU->LN->W+b"):
+                        from deepxi_tpu.ops.kernels.tcn_fused import \
+                            resnetv2_apply_fused
+                        apply_fn = (lambda p, m: resnetv2_apply_fused(
+                            p, m, n_blocks=cfg.n_blocks,
+                            max_d_rate=cfg.max_d_rate, k=cfg.k))
+                    cache[f"fast_enh_{g}"] = make_enhancer(
+                        self.inp_tgt, self.network, g, apply_fn=apply_fn)
                 enhance = cache[f"fast_enh_{g}"]
                 for L, idxs in sorted(buckets.items()):
                     for j0 in range(0, len(idxs), max_batch):

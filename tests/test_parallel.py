@@ -97,3 +97,34 @@ class TestGraftEntry:
     def test_dryrun_multichip(self, devices):
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+class TestMHANetMesh:
+    def test_mhanet_dp_tp_train_step(self, devices):
+        """MHANetV3 training step over a dp x tp mesh (attention einsum
+        kernels shard their output axes over 'model')."""
+        from deepxi_tpu.inp_tgt import inp_tgt_selector
+        from deepxi_tpu.models import network_selector
+        from deepxi_tpu.training import TrainState, make_optimizer, make_train_step
+
+        it = inp_tgt_selector("MagXi", N_d=512, N_s=256, K=512, f_s=16000,
+                              map_type="DBNormalCDF", map_params=None)
+        sample = (np.abs(np.random.RandomState(0).randn(64, 257)) ** 2).astype(np.float32)
+        it = it.replace(xi_map=it.xi_map.with_stats(jnp.asarray(sample)))
+        net = network_selector("MHANetV3", 257, d_model=32, n_blocks=2,
+                               n_heads=4, causal=True, outp_act="Sigmoid",
+                               max_len=64)
+        tx = make_optimizer("MHANetV3", 32, 100)
+        mesh = make_mesh(n_data=4, n_model=2)
+        params = shard_params(mesh, net.init(jax.random.PRNGKey(0),
+                                             jnp.zeros((4, 16, 257))))
+        state = TrainState.create(params, tx)
+        step = jax.jit(make_train_step(net, it, tx))
+        rng = np.random.RandomState(2)
+        s = (rng.randn(4, 4096) * 3000).astype(np.int16)
+        d = (rng.randn(4, 8192) * 1000).astype(np.int16)
+        batch = shard_batch(mesh, (jnp.asarray(s), jnp.asarray(d)))
+        state, m = step(state, jax.random.PRNGKey(3), batch[0], batch[1],
+                        jnp.full(4, 4096, jnp.int32), jnp.full(4, 8192, jnp.int32),
+                        jnp.zeros(4))
+        assert np.isfinite(float(m["loss"]))

@@ -71,3 +71,48 @@ def test_enhancer_with_fused_apply(setup):
     fast = make_enhancer(it, net, "mmse-lsa", apply_fn=fused_apply)(
         params, jnp.asarray(w))
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-3)
+
+
+def test_framework_fast_infer_with_fused(tmp_path):
+    """infer(out_type='y') with cfg.tcn_fused routes through the fused
+    kernel and matches the per-utterance path."""
+    import os
+    import jax
+    from deepxi_tpu.config import Config
+    from deepxi_tpu.data import read_wav, save_wav
+    from deepxi_tpu.framework import DeepXiTPU
+    from deepxi_tpu.inp_tgt import inp_tgt_selector
+    from deepxi_tpu.models import network_selector
+    from deepxi_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(0)
+    set_dir = tmp_path / "set"
+    save_wav(str(set_dir / "tx" / "a_white_5dB.wav"),
+             (rng.randn(9000) * 3000).astype(np.int16), 16000)
+    cfg = Config(ver="tiny", network_type="ResNetV2", d_model=32, n_blocks=3,
+                 d_f=16, k=3, max_d_rate=2, causal=True,
+                 unit_type="ReLU->LN->W+b", tcn_fused=True,
+                 data_path=str(tmp_path / "data"),
+                 model_path=str(tmp_path / "model"),
+                 log_path=str(tmp_path / "log"), out_path=str(tmp_path / "out"),
+                 test_x_path=str(set_dir / "tx"))
+    dx = DeepXiTPU.__new__(DeepXiTPU)
+    dx.cfg = cfg
+    dx.inp_tgt = inp_tgt_selector("MagXi", N_d=512, N_s=256, K=512, f_s=16000,
+                                  map_type="DBNormalCDF", map_params=None)
+    sample = (np.abs(rng.randn(32, 257)) ** 2).astype(np.float32)
+    dx.inp_tgt = dx.inp_tgt.replace(
+        xi_map=dx.inp_tgt.xi_map.with_stats(jnp.asarray(sample)))
+    dx.network = network_selector("ResNetV2", 257, **cfg.network_kwargs())
+    dx.mesh = make_mesh(1, 1)
+    params = dx.network.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 257)))
+    fast = dx.infer(params=params, out_type="y", epochs=[1], gains=["mmse-lsa"])
+    w_fast, _ = read_wav(fast[0])
+    os.rename(fast[0], fast[0] + ".f.wav")
+    slow = dx.infer(params=params, out_type="y", epochs=[1], gains=["mmse-lsa"],
+                    fast=False)
+    w_slow, _ = read_wav(slow[0])
+    n = min(len(w_fast), len(w_slow))
+    # fused kernel uses default matmul precision; tolerance is audio-level
+    diff = np.abs(w_fast[:n].astype(np.int32) - w_slow[:n].astype(np.int32))
+    assert diff.max() <= 64, diff.max()  # < 0.2% of int16 range
