@@ -137,7 +137,8 @@ def ssc(signal: jnp.ndarray, samplerate: int = 16000, winlen: float = 0.025,
     frames = framesig(x, int(winlen * samplerate), int(winstep * samplerate))
     ps = jnp.maximum(powspec(frames, nfft), 1e-30)
     fb = jnp.asarray(get_filterbanks(nfilt, nfft, samplerate, lowfreq, highfreq))
-    freqs = jnp.asarray(np.linspace(0, samplerate / 2, ps.shape[-1],
+    # psf convention: bin centre frequencies linspace(1, fs/2)
+    freqs = jnp.asarray(np.linspace(1, samplerate / 2, ps.shape[-1],
                                     dtype=np.float32))
     feat = ps @ fb.T
     return (ps * freqs) @ fb.T / feat

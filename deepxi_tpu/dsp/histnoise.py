@@ -51,7 +51,10 @@ def _masked_mode(pool: jnp.ndarray, mask: jnp.ndarray, n_buckets: int) -> Tuple:
     big = jnp.max(pool, axis=0) + 1.0
     lo = jnp.min(jnp.where(mask > 0, pool, big[None]), axis=0)
     hi = jnp.max(jnp.where(mask > 0, pool, (lo - 1.0)[None]), axis=0)
-    width = jnp.maximum(hi - lo, 1e-12) / n_buckets
+    # per-bin bucket count min(surviving, n_buckets), like the reference's
+    # np.histogram(aray, min(pure_len, 40)) (ref: histogram.py:76-77)
+    nb = jnp.clip(cnt, 1.0, float(n_buckets))
+    width = jnp.maximum(hi - lo, 1e-12) / nb
     idx = jnp.clip(((pool - lo[None]) / width[None]).astype(jnp.int32),
                    0, n_buckets - 1)
     onehot = jax.nn.one_hot(idx, n_buckets, axis=-1)  # [L, F, B]

@@ -69,25 +69,39 @@ def _posteriors(model: MixMaxModel, p_prior: jnp.ndarray, z: jnp.ndarray):
     return rho, R, p_mm
 
 
-def estimate_frame(model: MixMaxModel, p_prior: jnp.ndarray, z: jnp.ndarray,
-                   delta: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """MixMax clean log-spectrum estimate for one frame
-    (ref: hybrid/hybridMixMax.py:331-347).
+def estimate_frame(model: MixMaxModel, p_post: jnp.ndarray, z: jnp.ndarray,
+                   delta: jnp.ndarray,
+                   nn_weighted: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """MixMax clean log-spectrum estimate for one frame.
+
+    With ``nn_weighted=False`` (the fork's default path,
+    ref: hybrid/hybridMixMax.py:331-347 x_estimate_mixmax) the class
+    posteriors p_mm come from the STATIC prior and `p_post` only weights the
+    returned presence rho; with ``nn_weighted=True``
+    (ref: hybridMixMax.py:349-361 x_estimate_mixmax_nn) `p_post` drives the
+    estimate itself.
 
     Returns (x_hat [F], rho_bar [F])."""
-    rho, R, p_mm = _posteriors(model, p_prior, z)
+    rho, R, p_mm_prior = _posteriors(model, model.prio_p, z)
+    if nn_weighted:
+        _, _, p_mm = _posteriors(model, p_post, z)
+    else:
+        p_mm = p_mm_prior
     beta_ik = model.x_mu - jnp.square(model.x_sigma) * R
     o = rho * z[None] + beta_ik * (1.0 - rho)
     x_hat = jnp.sum(p_mm[:, None] * o, axis=0)
     x_hat = jnp.maximum(z + delta, x_hat)
-    rho_bar = jnp.maximum(jnp.sum(p_mm[:, None] * rho, axis=0),
+    # the returned presence is always weighted by the caller's posteriors
+    # (ref: hybridMixMax.py:344-346 sums rho with p_prev in both variants)
+    rho_bar = jnp.maximum(jnp.sum(p_post[:, None] * rho, axis=0),
                           jnp.finfo(jnp.float32).tiny)
     return x_hat, rho_bar
 
 
 def enhance(model: MixMaxModel, log_mag: jnp.ndarray,
             posteriors: jnp.ndarray = None,
-            track_noise: bool = True) -> jnp.ndarray:
+            track_noise: bool = True,
+            nn_weighted: bool = False) -> jnp.ndarray:
     """Enhance a [T, F] log-magnitude spectrogram.
 
     Args:
@@ -104,14 +118,15 @@ def enhance(model: MixMaxModel, log_mag: jnp.ndarray,
         posteriors = jnp.broadcast_to(model.prio_p, (T,) + model.prio_p.shape)
 
     if not track_noise:
-        est = jax.vmap(lambda p, z: estimate_frame(model, p, z, delta)[0])
+        est = jax.vmap(lambda p, z: estimate_frame(model, p, z, delta,
+                                                   nn_weighted)[0])
         return est(posteriors, log_mag)
 
     def step(carry, inp):
         g_mu, g_sigma = carry
         p, z = inp
         m = model._replace(g_mu=g_mu, g_sigma=g_sigma)
-        x_hat, rho = estimate_frame(m, p, z, delta)
+        x_hat, rho = estimate_frame(m, p, z, delta, nn_weighted)
         # presence-weighted noise adaptation (ref: hybridMixMax.py:310-316)
         g_mu = rho * g_mu + (1 - rho) * (model.alpha * z + (1 - model.alpha) * g_mu)
         dev = jnp.abs(z - g_mu)

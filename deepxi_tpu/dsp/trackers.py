@@ -128,7 +128,6 @@ def mcra2_track(pwr: jnp.ndarray, params: MCRAParams = MCRAParams()
     """MCRA-2: continuous minimum tracking instead of the windowed minimum
     (ref: bak/multiphase.py:168-192)."""
     state = _init_common(pwr[0])
-    state["S_prev"] = state["S"]
 
     def step(state, pw):
         snr_gamma, snr_xi = _dd_snr(state, pw)
@@ -142,8 +141,7 @@ def mcra2_track(pwr: jnp.ndarray, params: MCRAParams = MCRAParams()
         p = (S / S_min > params.delta).astype(pw.dtype)
         sp, lambda_d, G_h = _finish(state, pw, p, params)
         new = dict(lambda_d=lambda_d, S=S, S_tmp=state["S_tmp"], S_min=S_min,
-                   S_prev=S_prev, speech_present=sp, snr_gamma=snr_gamma,
-                   snr_xi=snr_xi)
+                   speech_present=sp, snr_gamma=snr_gamma, snr_xi=snr_xi)
         return new, (lambda_d, G_h, sp)
 
     _, (ld, G, p) = jax.lax.scan(step, state, pwr)

@@ -66,6 +66,19 @@ def make_model(x_mu, x_sigma, prio_p, g_mu, g_sigma, n_noise_comp: int = 2,
         bias=jnp.zeros((F,), jnp.float32))
 
 
+def _default_alpha_d(F: int) -> jnp.ndarray:
+    """Frequency-dependent subtraction damping (ref: gmmnoise.py:210-215:
+    0.3 on the lowest bins rising to 0.78 at high frequencies)."""
+    import numpy as _np
+    edges = [(7, 0.3), (10, 0.5), (48, 0.65)]
+    out = _np.full(F, 0.78, _np.float32)
+    i = 0
+    for n, v in edges:
+        out[i:min(i + n, F)] = v
+        i += n
+    return jnp.asarray(out)
+
+
 class Compensated(NamedTuple):
     mu_o: jnp.ndarray        # [L, K, F]
     var_o: jnp.ndarray       # [L, K, F]
@@ -133,8 +146,12 @@ def em_step(model: VTSModel, O: jnp.ndarray,
         signal_hat = O - exp_sig
         noise_hat = O - exp_noi
     else:
+        # presence-gated, alpha_d-damped subtraction (ref: gmmnoise.py:
+        # 321-330): without the damping a speech-absent frame would subtract
+        # the full observation (log 0 -> full-scale magnitude on synthesis)
         sap = 1.0 - spp
-        signal_hat = O - (sap * O + spp * exp_sig)
+        alpha_d = _default_alpha_d(O.shape[-1])
+        signal_hat = O - alpha_d * (sap * O + spp * exp_sig)
         noise_hat = O - spp * exp_noi
 
     # noise GMM update

@@ -474,7 +474,8 @@ class DeepXiTPU:
                             resnetv2_apply_fused
                         apply_fn = (lambda p, m: resnetv2_apply_fused(
                             p, m, n_blocks=cfg.n_blocks,
-                            max_d_rate=cfg.max_d_rate, k=cfg.k))
+                            max_d_rate=cfg.max_d_rate, k=cfg.k,
+                            outp_act=cfg.outp_act))
                     cache[f"fast_enh_{g}"] = make_enhancer(
                         self.inp_tgt, self.network, g, apply_fn=apply_fn)
                 enhance = cache[f"fast_enh_{g}"]

@@ -66,9 +66,12 @@ class _Cfg:
         self.width_bark = np.asarray(getattr(T, f"width_of_band_bark_{sfx}"))
         self.pow_corr = np.asarray(getattr(T, f"pow_dens_correction_factor_{sfx}"))
         self.abs_thresh = np.asarray(getattr(T, f"abs_thresh_power_{sfx}"))
-        hsos = np.asarray(getattr(T, f"InIIR_Hsos_{sfx}")).reshape(-1, 5)
-        self.in_sos = np.concatenate(
-            [hsos[:, :3], np.ones((len(hsos), 1)), hsos[:, 3:]], axis=1)
+        # NOTE: the standard's input_filter (DC block + InIIR_Hsos IIR)
+        # preprocesses signals for the VAD/alignment stage ONLY -- the
+        # psychoacoustic model consumes the IRS-filtered signals (the MATLAB
+        # reference restores model_ref/model_deg before the model). With the
+        # zero-delay alignment simplification that stage has no consumer, so
+        # InIIR_Hsos is deliberately unused here.
         if fs == 16000:
             wb = np.asarray(T.WB_InIIR_Hsos_16k).reshape(-1, 5)
             self.wb_sos = np.concatenate(
@@ -252,7 +255,9 @@ def _psychoacoustic_model(ref: np.ndarray, deg: np.ndarray, n: int,
     if np.any(fd > THRESH):
         bad = fd > THRESH
         bad[0] = False
-        smear = bad.copy()
+        # P.862 initialises the smeared flags to all-false; frames outside
+        # the smear loop's range must not survive as bad
+        smear = np.zeros_like(bad)
         for t in range(2, Tn - 3):
             smear[t] = min(bad[max(t - 2, 0):t + 1].max(),
                            bad[t:t + 3].max())

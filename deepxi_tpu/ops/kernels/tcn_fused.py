@@ -155,8 +155,8 @@ def fused_block_group(x: jnp.ndarray, weights: Sequence[BlockWeights],
 
 def resnetv2_apply_fused(params, x: jnp.ndarray, n_blocks: int = 40,
                          max_d_rate: int = 16, k: int = 3,
-                         group: int = 20, tile_t: int = 640
-                         ) -> jnp.ndarray:
+                         group: int = 20, tile_t: int = 640,
+                         outp_act: str = "Sigmoid") -> jnp.ndarray:
     """ResNetV2 forward (causal, ReLU->LN->W+b, Sigmoid) with the block
     stack running through fused Pallas group kernels. Drop-in equivalent of
     `ResNetV2.apply` for the flagship configuration.
@@ -181,4 +181,5 @@ def resnetv2_apply_fused(params, x: jnp.ndarray, n_blocks: int = 40,
                               tile_t=tile_t)
 
     out = _dot(h, p["out_conv"]["kernel"][0]) + p["out_conv"]["bias"]
-    return jax.nn.sigmoid(out)
+    from deepxi_tpu.models.tcn import output_activation
+    return output_activation(out, outp_act)

@@ -62,6 +62,10 @@ class StreamingEnhancer:
             raise ValueError("streaming requires a causal network")
         if net.unit_type != "ReLU->LN->W+b":
             raise ValueError("streaming supports the ReLU->LN->W+b unit order")
+        if net.outp_act != "Sigmoid":
+            raise ValueError("streaming implements the Sigmoid output head")
+        if inp_tgt.N_d != 2 * inp_tgt.N_s:
+            raise ValueError("streaming assumes 50% overlap (N_d == 2*N_s)")
         self.it = inp_tgt
         self.net = net
         self.p = params["params"]
