@@ -77,12 +77,17 @@ class MiniBatchLoader:
             n = min(len(wav), L)
             s[i, :n] = wav[:n]
             s_len[i] = n
-            # draw a noise file at least as long as the speech
-            # (ref: deepxi/model.py:2280-2283)
-            while True:
-                d_item = self.d_list[self.rng.integers(len(self.d_list))]
-                if d_item["wav_len"] >= n:
-                    break
+            # draw a noise file at least as long as the speech, uniformly
+            # over the eligible subset (ref: deepxi/model.py:2280-2283 -- the
+            # reference re-draws in a loop that never terminates when no
+            # noise file is long enough; a catalogued-hazard fix)
+            eligible = [it for it in self.d_list if it["wav_len"] >= n]
+            if not eligible:
+                longest = max(it["wav_len"] for it in self.d_list)
+                raise ValueError(
+                    f"no noise file is >= {n} samples (longest available: "
+                    f"{longest}); speech {item['file_path']!r} cannot be mixed")
+            d_item = eligible[self.rng.integers(len(eligible))]
             d_wav, _ = read_wav(d_item["file_path"])
             # random crop to the padded length so the device-side random
             # offset (sig.add_noise) stays within a static buffer

@@ -84,9 +84,14 @@ def histogram_track(pwr: jnp.ndarray, params: HistParams = HistParams()
         S = params.alpha_s * st["S"] + (1 - params.alpha_s) * pw
         pool = st["pool"].at[t % L].set(S)
         warm = t < L
-        warm_mask = ((jnp.arange(L) <= t).astype(pw.dtype)[:, None]
+        # Warmup pools S_pool[:t] (excluding the current frame) for
+        # 0 < t < L, and S_pool[0] alone at t == 0, exactly like the
+        # reference's tracking_histogram_win (ref: histogram.py:27-37);
+        # std is eps-floored as there.
+        warm_mask = ((jnp.arange(L) < jnp.maximum(t, 1)).astype(pw.dtype)[:, None]
                      * jnp.ones((L, F), pw.dtype))
         _, w_mean, w_std, _ = _masked_mode(pool, warm_mask, params.n_buckets)
+        w_std = jnp.maximum(w_std, jnp.finfo(pw.dtype).eps)
 
         # variant 0: plain mode over the full pool
         full = jnp.ones((L, F), pw.dtype)

@@ -59,12 +59,26 @@ def make_enhancer(inp_tgt, network, gtype: str = "mmse-lsa",
             return tgt_hat
         if typ == "MagSMM":
             return tgt_hat
-        if typ == "MagMag":
-            # y_STMS = mag_map.inverse(tgt); express as a gain on |X|
-            s_hat = inp_tgt.mag_map.inverse(tgt_hat)
-            return s_hat / jnp.maximum(mag, 1e-12)
         raise ValueError(f"{typ} has no gain-form synthesis; "
                          "use inp_tgt.enhanced_speech")
+
+    def synth_spectrum(Y, mag, tgt_hat):
+        """New [re || im] spectrum from the network output."""
+        if typ == "MagMag":
+            # y_STMS = mag_map.inverse(tgt) outright (not a gain on |X|):
+            # replace the magnitude while keeping the noisy phase's unit
+            # vector. Where |X| == 0 the slow path's atan2(0, 0) = 0 phase
+            # means unit vector (1, 0) -- matching inp_tgt.MagMag.
+            # enhanced_speech exactly instead of zeroing those bins (the
+            # divergence the round-1 advisor flagged).
+            re, im = Y[..., :nb], Y[..., nb:]
+            s_hat = inp_tgt.mag_map.inverse(tgt_hat)
+            safe = mag > 0.0
+            inv = jnp.where(safe, 1.0 / jnp.where(safe, mag, 1.0), 0.0)
+            u_re = jnp.where(safe, re * inv, 1.0)
+            u_im = im * inv
+            return jnp.concatenate([s_hat * u_re, s_hat * u_im], axis=-1)
+        return apply_gain_reim(Y, gain_from_tgt(mag, tgt_hat), K)
 
     net_apply = apply_fn if apply_fn is not None else network.apply
 
@@ -75,9 +89,8 @@ def make_enhancer(inp_tgt, network, gtype: str = "mmse-lsa",
         re, im = Y[..., :nb], Y[..., nb:]
         mag = jnp.sqrt(re * re + im * im)
         tgt_hat = net_apply(params, mag)
-        G = gain_from_tgt(mag, tgt_hat)
-        return synthesis_from_reim(apply_gain_reim(Y, G, K), N_d, N_s, K,
-                                   precision)
+        return synthesis_from_reim(synth_spectrum(Y, mag, tgt_hat), N_d, N_s,
+                                   K, precision)
 
     return enhance
 

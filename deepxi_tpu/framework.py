@@ -308,6 +308,14 @@ class DeepXiTPU:
                 for i in range(len(s_names)):
                     j = i % len(d_names)
                     L = bucket_length(int(s_lens[i]), cfg.N_s)
+                    # validate the mixer's invariant here at the host
+                    # boundary: a shorter noise clip would silently mix
+                    # zero-padded noise inside add_noise (advisor finding)
+                    if int(d_lens[j]) < min(int(s_lens[i]), L):
+                        raise ValueError(
+                            f"noise {d_names[j]!r} ({int(d_lens[j])} samples) is "
+                            f"shorter than speech {s_names[i]!r} "
+                            f"({int(s_lens[i])} samples); cannot mix at SNR")
                     s = jnp.asarray(np.pad(s_batch[i], (0, max(L - s_batch.shape[1], 0)))[:L])[None]
                     d = jnp.asarray(np.pad(d_batch[j], (0, max(L - d_batch.shape[1], 0)))[:L])[None]
                     key = jax.random.PRNGKey(cfg.seed + 7)
@@ -559,8 +567,17 @@ class DeepXiTPU:
         """Objective evaluation driver (ref: deepxi/model.py:1784-1902):
         enhance every test utterance, score vs the matching clean reference,
         write per-condition and running-average CSVs in the reference's
-        format."""
+        format.
+
+        Scores both the reference's in-loop metrics (STOI/eSTOI/PESQ/
+        MOS-LQO, ref: deepxi/model.py:1854-1861) and the DEMAND-VB composite
+        suite the BASELINE parity targets are defined in -- CSIG/CBAK/COVL/
+        SegSNR/SNR (ref: demand_voice_bank_objective_scoring/
+        objective_scoring.m:45-48) -- and appends the scorer's results.txt
+        row format alongside the CSVs."""
+        from deepxi_tpu.metrics import composite
         from deepxi_tpu.metrics import stoi as stoi_fn
+        from deepxi_tpu.metrics.pesq import pesq as pesq_fn
 
         cfg = self.cfg
         gains = list(gains) if gains else (
@@ -570,8 +587,6 @@ class DeepXiTPU:
 
         x_batch, x_lens, _, x_names = test_batch(cfg.test_x_path)
         s_batch, s_lens, _, s_names = test_batch(cfg.test_s_path)
-
-        from deepxi_tpu.metrics.pesq import pesq as pesq_fn
 
         apply_fn = jax.jit(self.network.apply)
         all_results = {}
@@ -608,13 +623,38 @@ class DeepXiTPU:
                         add("eSTOI", 100.0 * stoi_fn(s, y, cfg.f_s, extended=True))
                     except ValueError as err:  # utterance too short for STOI
                         print(f"STOI skipped for {name}: {err}")
-                    if pesq_fn is not None:
-                        add("PESQ", pesq_fn(s, y, cfg.f_s, mode="nb"))
-                        add("MOS-LQO", pesq_fn(s, y, cfg.f_s, mode="wb"))
+                    pesq_nb = pesq_fn(s, y, cfg.f_s, mode="nb")
+                    add("MOS-LQO", pesq_fn(s, y, cfg.f_s, mode="wb"))
+                    comp = composite(s, y, cfg.f_s, pesq_mos=pesq_nb)
+                    for m in ("PESQ", "CSIG", "CBAK", "COVL", "SegSNR", "SNR"):
+                        add(m, comp[m])
 
                 self._write_results(results, e, g)
+                self._append_results_txt(results, e, g)
                 all_results[(e, g)] = results
         return all_results
+
+    def _append_results_txt(self, results, e: int, g: str) -> None:
+        """Append the DEMAND-VB scorer's results.txt row: all-utterance
+        means of CSIG/CBAK/COVL/PESQ/STOI/SegSNR/SNR
+        (ref: demand_voice_bank_objective_scoring/objective_scoring.m:50-83;
+        golden format: demand_voice_bank_objective_scoring/results.txt)."""
+        cfg = self.cfg
+        res_dir = os.path.join(cfg.log_path, "results")
+        os.makedirs(res_dir, exist_ok=True)
+        cols = ("CSIG", "CBAK", "COVL", "PESQ", "STOI", "SegSNR", "SNR")
+        means = {}
+        for m in cols:
+            vals = [v for (ns, sl, mm), vs in results.items()
+                    for v in vs if mm == m]
+            means[m] = float(np.mean(vals)) if vals else float("nan")
+        path = os.path.join(res_dir, "results.txt")
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write("ver, " + ", ".join(cols) + "\n")
+        with open(path, "a") as f:
+            f.write(f"{cfg.ver}_e{e}_{g}, "
+                    + ", ".join(f"{means[m]:.2f}" for m in cols) + "\n")
 
     def _write_results(self, results, e: int, g: str) -> None:
         """CSV outputs in the reference's exact format

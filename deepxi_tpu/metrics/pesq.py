@@ -11,10 +11,14 @@ with deadzone masking and asymmetry weighting, L2/L6 syllable-time
 aggregation, and bad-interval realignment. Constants come from the published
 standard tables (deepxi_tpu/metrics/_pesq_tables.py).
 
-SIMPLIFICATION (documented): the utterance-splitting time-alignment stage is
-replaced by a whole-signal zero-delay assumption -- exact for speech
-enhancement evaluation where the degraded signal is sample-aligned with the
-reference by construction (the bad-interval local realignment is kept).
+SIMPLIFICATION (documented): P.862's utterance-splitting time alignment
+(per-utterance piecewise delays) is replaced by a WHOLE-SIGNAL alignment:
+a crude 4 ms-granule log-energy cross-correlation followed by a +/-1-granule
+waveform refinement (so any constant delay between degraded and reference is
+corrected -- bounded by tests in tests/test_pesq.py), while signals whose
+delay *changes mid-signal* are handled only by the retained bad-interval
+local realignment. Exact for speech-enhancement evaluation, where the
+degraded signal is sample-aligned by construction.
 
 Modes:
   * ``nb``      -> raw P.862 PESQ MOS (what the reference's PESQ column is)
@@ -320,6 +324,64 @@ def _psychoacoustic_model(ref: np.ndarray, deg: np.ndarray, n: int,
     return 4.5 - 0.1 * d_ind - 0.0309 * a_ind
 
 
+def _estimate_delay(ref: np.ndarray, deg: np.ndarray, granule: int) -> int:
+    """Whole-signal delay of `deg` relative to `ref` in samples.
+
+    Crude stage: cross-correlate mean-removed log energies over
+    4 ms granules (the granularity of P.862's crude alignment). Fine stage:
+    waveform cross-correlation restricted to +/- one granule around the
+    crude estimate. Returns 0 when the correlation evidence is weak."""
+    h = granule
+    n = min(len(ref), len(deg)) // h * h
+    if n < 4 * h:
+        return 0
+    er = np.sum(ref[:n].reshape(-1, h) ** 2, axis=1)
+    ed = np.sum(deg[:n].reshape(-1, h) ** 2, axis=1)
+    # floor silence at 1e-4 of the peak granule so zero-padding does not
+    # dominate, then log-compress and mean-remove
+    er = np.log10(np.maximum(er, 1e-4 * max(er.max(), 1e-12)))
+    ed = np.log10(np.maximum(ed, 1e-4 * max(ed.max(), 1e-12)))
+    er -= er.mean()
+    ed -= ed.mean()
+    norm = math.sqrt(np.sum(er ** 2) * np.sum(ed ** 2))
+    if norm <= 0:
+        return 0
+    c = np.correlate(ed, er, mode="full")  # envelope corr, lag = idx-(F-1) granules
+    if c.max() < 0.3 * norm:  # no credible envelope match
+        return 0
+    # primary: global waveform cross-correlation (sharp and unambiguous even
+    # when the energy envelope is periodic), validated against the envelope
+    m = 1 << math.ceil(math.log2(2 * n))
+    R = np.fft.rfft(ref[:n], m)
+    D = np.fft.rfft(deg[:n], m)
+    cc = np.fft.irfft(D * np.conj(R), m)  # cc[l] = sum deg[i+l]*ref[i] (mod m)
+    lags = np.arange(-(n - 1), n)
+    vals = cc[lags % m]
+    wnorm = math.sqrt(np.sum(ref[:n] ** 2) * np.sum(deg[:n] ** 2))
+    best = int(lags[np.argmax(vals)])
+    g = np.clip(round(best / h) + (len(er) - 1), 0, len(c) - 1)
+    if vals.max() > 0.1 * wnorm and c[g] >= 0.5 * c.max():
+        return best
+    # fallback: envelope peak refined by the waveform within +/- one granule
+    coarse = (int(np.argmax(c)) - (len(er) - 1)) * h
+    win = lags[(lags >= coarse - h) & (lags <= coarse + h)]
+    if len(win) and cc[win % m].max() > 0.1 * wnorm:
+        return int(win[np.argmax(cc[win % m])])
+    return coarse
+
+
+def _align_crop(ref: np.ndarray, deg: np.ndarray, delay: int
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Crop both signals to their overlap under `delay` (deg[i + delay]
+    aligns with ref[i]). Cropping -- not zero-fill -- so no artificial
+    dropout is scored."""
+    if delay > 0:
+        deg = deg[delay:]
+    elif delay < 0:
+        ref = ref[-delay:]
+    return ref, deg
+
+
 def pesq(ref: np.ndarray, deg: np.ndarray, fs: int, mode: str = "nb") -> float:
     """PESQ score of `deg` against clean `ref`.
 
@@ -343,10 +405,14 @@ def pesq(ref: np.ndarray, deg: np.ndarray, fs: int, mode: str = "nb") -> float:
         return x * 32768.0
 
     r, d = prep(ref), prep(deg)
+    cfg = _Cfg(target_fs)
+    # whole-signal time alignment (crude 4 ms-granule + fine waveform
+    # stages; see the SIMPLIFICATION note above)
+    delay = _estimate_delay(r, d, cfg.downsample)
+    if delay:
+        r, d = _align_crop(r, d, delay)
     n = min(len(r), len(d))
     r, d = r[:n], d[:n]
-
-    cfg = _Cfg(target_fs)
     n_total = n + 2 * cfg.sb
     zpre = np.zeros(cfg.sb)
     zpost = np.zeros(cfg.pad + cfg.sb)

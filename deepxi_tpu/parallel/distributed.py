@@ -10,23 +10,33 @@ ICI within a slice and only data-parallel reductions cross DCN.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import jax
+
+logger = logging.getLogger(__name__)
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:
     """Initialise jax.distributed; arguments are auto-detected on TPU pods
-    when omitted. No-op when running single-process."""
+    when omitted. No-op when running single-process.
+
+    Explicit multi-host arguments make failures fatal; only the
+    auto-detection path may fall back to single-process, and it logs why
+    (a silently-degraded multi-host run was a catalogued round-1 hazard).
+    """
     if num_processes in (None, 1) and coordinator_address is None:
         try:
             jax.distributed.initialize()
-        except Exception:
-            # single-process (CPU/single-chip) environments
+        except Exception as e:  # single-process (CPU/single-chip) envs
+            logger.info("jax.distributed auto-init unavailable, running "
+                        "single-process: %s", e)
             return
     else:
+        # explicit multi-host configuration: let any failure propagate
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)

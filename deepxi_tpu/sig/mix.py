@@ -60,7 +60,10 @@ def add_noise(key: jax.Array, s: jnp.ndarray, d: jnp.ndarray,
     Args:
       key: PRNG key (replaces the reference's unseeded tf.random.uniform).
       s: [L] float32 padded clean speech (valid prefix s_len).
-      d: [L_d] float32 padded noise (valid prefix d_len, d_len >= s_len).
+      d: [L_d] float32 padded noise (valid prefix d_len). INVARIANT:
+         d_len >= s_len -- callers must validate at the host boundary
+         (the loader and framework drivers do); inside jit a violation
+         silently mixes zero-padded noise, which inflates alpha.
       s_len, d_len: scalar int32 valid lengths.
       snr_db_level: scalar SNR in dB.
 

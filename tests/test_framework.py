@@ -141,6 +141,31 @@ class TestObjective:
         rows = open(os.path.join(res_dir, "tiny_e1_mmse-lsa.csv")).read().strip().split("\n")
         assert rows[0].startswith("noise,snr_db")
         assert any("white,5" in r for r in rows[1:])
+        # every BASELINE.md column is scored (the DEMAND-VB composite suite,
+        # ref: objective_scoring.m:45-48)
+        res = results[(1, "mmse-lsa")]
+        metrics = {k[2] for k in res}
+        for m in ("CSIG", "CBAK", "COVL", "PESQ", "STOI", "SegSNR", "SNR",
+                  "eSTOI", "MOS-LQO"):
+            assert m in metrics, m
+        for m in ("CSIG", "CBAK", "COVL"):
+            vals = res[("white", 5, m)]
+            assert all(1.0 <= v <= 5.0 for v in vals)
+
+    def test_results_txt_demand_vb_format(self, trained):
+        """results.txt matches the golden header/row layout of
+        demand_voice_bank_objective_scoring/results.txt."""
+        root, dx, _ = trained
+        path = os.path.join(dx.cfg.log_path, "results", "results.txt")
+        assert os.path.exists(path)
+        lines = open(path).read().strip().split("\n")
+        assert lines[0] == "ver, CSIG, CBAK, COVL, PESQ, STOI, SegSNR, SNR"
+        row = next(l for l in lines[1:] if l.startswith("tiny_e1_mmse-lsa"))
+        fields = row.split(", ")
+        assert len(fields) == 8
+        vals = [float(v) for v in fields[1:]]
+        assert all(np.isfinite(vals))
+        assert 0.0 <= vals[4] <= 100.0  # STOI reported in percent
 
 
 class TestCLIConfig:

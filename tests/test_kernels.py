@@ -91,6 +91,35 @@ class TestFusedEnhancer:
         y_ref = np.asarray(it.enhanced_speech(mag, pha, tgt, "mmse-lsa"))
         np.testing.assert_allclose(y_fast, y_ref, atol=1e-5)
 
+    def test_magmag_fast_matches_slow_at_zero_bins(self):
+        """MagMag replaces the magnitude outright; at |X| == 0 frames the
+        slow path uses atan2(0, 0) = 0 phase, i.e. unit vector (1, 0). The
+        fast path must match there too (round-1 advisor finding: the old
+        gain form silently zeroed those bins)."""
+        from deepxi_tpu.enhance import make_enhancer
+        from deepxi_tpu.inp_tgt import inp_tgt_selector
+        from deepxi_tpu.models import network_selector
+
+        it = inp_tgt_selector("MagMag", N_d=N_d, N_s=N_s, K=K, f_s=16000,
+                              map_type="DBNormalCDF", map_params=None)
+        sample = (np.abs(np.random.RandomState(0).randn(64, 257)) + 0.1
+                  ).astype(np.float32)
+        it = it.replace(mag_map=it.mag_map.with_stats(jnp.asarray(sample)))
+        net = network_selector("ResNetV2", 257, d_model=32, n_blocks=2, d_f=16,
+                               k=3, max_d_rate=2, causal=True,
+                               unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
+        rng = np.random.RandomState(3)
+        x = (rng.randn(1, 8192) * 3000).astype(np.int16)
+        x[:, :4096] = 0  # exact-zero frames -> |X| == 0 bins
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 257)))
+
+        y_fast = np.asarray(make_enhancer(it, net)(params, jnp.asarray(x)))
+        mag, pha = it.observation(jnp.asarray(x))
+        tgt = net.apply(params, mag)
+        y_ref = np.asarray(it.enhanced_speech(mag, pha, tgt))
+        assert np.abs(y_ref[:, : 8 * N_s]).max() > 0  # zero region synthesised
+        np.testing.assert_allclose(y_fast, y_ref, atol=1e-5)
+
     def test_golden_chain_parity(self):
         """Fast path reproduces the shipped enhanced wav from the shipped
         xi_hat dump, like the polar path does (tests/test_parity_artifacts)."""

@@ -87,3 +87,83 @@ class TestQuality:
             assert k in out
         assert 1.0 <= out["CSIG"] <= 5.0
         assert 1.0 <= out["CBAK"] <= 5.0
+
+    def test_composite_regression_formulae(self):
+        # exact Hu & Loizou coefficients (composite.m:72-79) on known inputs
+        x = speechlike()
+        y = x + np.random.RandomState(6).randn(len(x)) * 0.01
+        out = composite(x, y, 16000, pesq_mos=3.0)
+        csig = np.clip(3.093 - 1.029 * out["LLR"] + 0.603 * 3.0
+                       - 0.009 * out["WSS"], 1, 5)
+        assert out["CSIG"] == pytest.approx(float(csig))
+
+
+class TestCompositeRealSpeech:
+    """Composite suite on the shipped clean/noisy/enhanced triple: the
+    5 dB noisy file must score SNR == 5.0 dB exactly (validating both the
+    scorer and the reference's mixing), and enhancement must improve every
+    composite measure."""
+
+    REF = "/root/reference"
+
+    @pytest.mark.skipif(not __import__("os").path.isdir(REF),
+                        reason="reference not mounted")
+    def test_shipped_triple_plausible(self):
+        from deepxi_tpu.data.wavio import read_wav
+        s, _ = read_wav(f"{self.REF}/set/test_clean_speech/FB_FB10_07_voice-babble.wav")
+        x, _ = read_wav(f"{self.REF}/set/test_noisy_speech/FB_FB10_07_voice-babble_5dB.wav")
+        y, _ = read_wav(f"{self.REF}/out/resnet-1.1c/e200/y/mmse-lsa/FB_FB10_07_voice-babble_5dB.wav")
+        n = min(len(s), len(x), len(y))
+        s, x, y = (w[:n].astype(np.float64) / 32768 for w in (s, x, y))
+        noisy = composite(s, x, 16000)
+        enh = composite(s, y, 16000)
+        assert noisy["SNR"] == pytest.approx(5.0, abs=0.05)
+        for m in ("CSIG", "CBAK", "COVL", "PESQ", "SegSNR", "SNR"):
+            assert enh[m] > noisy[m], m
+        assert enh["LLR"] < noisy["LLR"] and enh["WSS"] < noisy["WSS"]
+        # plausible single-utterance ranges at 5 dB babble
+        assert 1.2 < noisy["PESQ"] < 2.2 and 1.9 < enh["PESQ"] < 3.0
+        assert 3.0 < enh["CSIG"] < 4.5 and 2.3 < enh["CBAK"] < 3.6
+
+
+class TestQualityInternals:
+    """Numerical cross-checks of the MATLAB-transcribed helpers against
+    independent linear-algebra formulations."""
+
+    def test_levinson_matches_toeplitz_solve(self):
+        from scipy.linalg import solve_toeplitz
+
+        from deepxi_tpu.metrics.quality import _autocorr, _levinson_batch
+        rng = np.random.RandomState(0)
+        frames = rng.randn(5, 480)
+        R = _autocorr(frames, 16)
+        A = _levinson_batch(R, 16)
+        for f in range(5):
+            a_ref = solve_toeplitz((R[f, :-1], R[f, :-1]), R[f, 1:])
+            np.testing.assert_allclose(A[f], np.r_[1.0, -a_ref], rtol=1e-8)
+
+    def test_quad_toeplitz_matches_dense(self):
+        from scipy.linalg import toeplitz
+
+        from deepxi_tpu.metrics.quality import _quad_toeplitz
+        rng = np.random.RandomState(1)
+        A = rng.randn(4, 17)
+        R = rng.randn(4, 17)
+        ref = np.array([A[f] @ toeplitz(R[f]) @ A[f] for f in range(4)])
+        np.testing.assert_allclose(_quad_toeplitz(A, R), ref, rtol=1e-10)
+
+    def test_frame_count_matlab_convention(self):
+        # floor(n/hop - win/hop): n = 600 @ fs 16k (win 480, hop 120) gives
+        # exactly ONE frame (the MATLAB loop excludes the last fitting one)
+        from deepxi_tpu.metrics.quality import _framed
+        assert _framed(np.ones(600), 16000).shape[0] == 1
+        assert _framed(np.ones(599), 16000).shape[0] == 0
+        assert _framed(np.ones(720), 16000).shape[0] == 2
+
+    def test_llr_positive_for_spectral_mismatch(self):
+        # whitened residual vs strongly coloured clean: A_e fits badly
+        rng = np.random.RandomState(2)
+        n = 32000
+        x = np.convolve(rng.randn(n), np.ones(8) / 8, mode="same")
+        y = rng.randn(n)
+        assert llr(x, y, 16000) > 0.5

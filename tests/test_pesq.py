@@ -67,6 +67,19 @@ class TestPESQ:
         assert 1.0 < p_noisy < 2.5
         assert 1.8 < p_enh < 3.2
 
+    @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+    def test_real_speech_wb_mode_plausible(self):
+        from deepxi_tpu.data.wavio import read_wav
+        s, _ = read_wav(f"{REF}/set/test_clean_speech/FB_FB10_07_voice-babble.wav")
+        x, _ = read_wav(f"{REF}/set/test_noisy_speech/FB_FB10_07_voice-babble_5dB.wav")
+        y, _ = read_wav(f"{REF}/out/resnet-1.0c/e180/y/mmse-lsa/FB_FB10_07_voice-babble_5dB.wav")
+        n = min(len(s), len(x), len(y))
+        s, x, y = (w[:n].astype(np.float32) / 32768 for w in (s, x, y))
+        m_noisy = pesq(s, x, 16000, "wb")
+        m_enh = pesq(s, y, 16000, "wb")
+        assert m_enh > m_noisy + 0.3
+        assert 1.0 < m_noisy < 2.5 and 1.3 < m_enh < 3.5
+
     def test_composite_with_native_pesq(self):
         from deepxi_tpu.metrics import composite
         x = speechlike(n=48000)
@@ -74,3 +87,50 @@ class TestPESQ:
         out = composite(x, y, 16000)  # PESQ computed natively
         assert "CSIG" in out and "PESQ" in out
         assert 1.0 <= out["COVL"] <= 5.0
+
+
+def _delayed(x: np.ndarray, dly: int) -> np.ndarray:
+    y = np.zeros_like(x)
+    if dly >= 0:
+        y[dly:] = x[: len(x) - dly]
+    else:
+        y[: len(x) + dly] = x[-dly:]
+    return y
+
+
+class TestAlignment:
+    """The whole-signal crude+fine alignment stage: scores must survive a
+    constant delay of the degraded signal (the round-1 review's missing
+    evidence for the documented utterance-split simplification)."""
+
+    def test_estimate_delay_recovers_planted_delay(self):
+        from deepxi_tpu.metrics.pesq import _estimate_delay
+        x = speechlike() * 32768.0
+        for dly in (0, 128, 777, 3200, -512):
+            est = _estimate_delay(x, _delayed(x, dly), 128)
+            assert est == dly, (dly, est)
+
+    def test_delayed_identity_stays_near_max(self):
+        x = speechlike()
+        base = pesq(x, x, 16000, "nb")
+        for dly in (160, 320, 1600, -320):
+            v = pesq(x, _delayed(x, dly), 16000, "nb")
+            assert abs(v - base) < 0.1, (dly, v, base)
+
+    def test_delayed_noisy_score_stable(self):
+        x = speechlike()
+        noise = np.random.RandomState(7).randn(len(x))
+        a = np.sqrt(np.mean(x ** 2) / (10 ** 0.5 * np.mean(noise ** 2)))
+        y = x + a * noise
+        base = pesq(x, y, 16000, "nb")
+        for dly in (320, 1600):
+            v = pesq(x, _delayed(y, dly), 16000, "nb")
+            assert abs(v - base) < 0.15, (dly, v, base)
+
+    def test_cropped_head_score_stable(self):
+        # degraded missing its first 20 ms entirely (crop, not shift)
+        x = speechlike()
+        y = x + np.random.RandomState(8).randn(len(x)) * 0.01
+        base = pesq(x, y, 16000, "nb")
+        v = pesq(x[320:], y, 16000, "nb")
+        assert abs(v - base) < 0.2
