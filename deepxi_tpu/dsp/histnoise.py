@@ -5,6 +5,19 @@ estimate follows the mode of a 40-bucket histogram over the pool, in three
 variants: plain, SNR-masked, and threshold-masked. The reference loops over
 the 257 bins per frame on the host; here the histogram/mode is computed for
 all bins at once on device and the whole tracker is one `lax.scan`.
+
+Differentially validated against the reference oracle
+(tests/test_ref_differential.py): variants 0/2 bit-exact in f64. Two
+CATALOGUED DEFECTS of the reference are NOT reproduced:
+
+  * warmup assigns ``self.mean = self.noise`` (histogram.py:30,35),
+    permanently aliasing the mode and mean recursions so each post-warmup
+    noise update overwrites the mean before the mean update reads it; our
+    recursions are independent (the oracle is de-aliased in the test);
+  * variant 1's exclusion handling treats ``squeeze(argwhere(..)).any()``
+    as "anything excluded" (histogram.py:71-75), which is falsy when
+    exactly pool index 0 is excluded -- those frames silently use the full
+    pool; we apply the mask as specified.
 """
 
 from __future__ import annotations
@@ -55,8 +68,11 @@ def _masked_mode(pool: jnp.ndarray, mask: jnp.ndarray, n_buckets: int) -> Tuple:
     # np.histogram(aray, min(pure_len, 40)) (ref: histogram.py:76-77)
     nb = jnp.clip(cnt, 1.0, float(n_buckets))
     width = jnp.maximum(hi - lo, 1e-12) / nb
+    # right-edge inclusive like np.histogram: the pool maximum belongs to
+    # bucket nb-1 (per-bin bucket count), not a one-past bucket
     idx = jnp.clip(((pool - lo[None]) / width[None]).astype(jnp.int32),
                    0, n_buckets - 1)
+    idx = jnp.minimum(idx, nb[None].astype(jnp.int32) - 1)
     onehot = jax.nn.one_hot(idx, n_buckets, axis=-1)  # [L, F, B]
     hist = jnp.sum(onehot * mask[..., None], axis=0)  # [F, B]
     mode_bucket = jnp.argmax(hist, axis=-1)
@@ -64,15 +80,20 @@ def _masked_mode(pool: jnp.ndarray, mask: jnp.ndarray, n_buckets: int) -> Tuple:
     return mode, mean, std, cnt
 
 
-def histogram_track(pwr: jnp.ndarray, params: HistParams = HistParams()
-                    ) -> HistOutputs:
+def histogram_track(pwr: jnp.ndarray, params: HistParams = HistParams(),
+                    S0: jnp.ndarray = None) -> HistOutputs:
     """Run all three histogram trackers over a [T, F] periodogram
     (ref: histogram2quantile/histogram.py:121-134). During warmup
     (t < frame_L) every variant reports the running pool mean, as in the
-    reference."""
+    reference.
+
+    `S0` seeds the smoothed periodogram; the default is the first frame,
+    matching the reference's construction `histogram(pwr[0], ...)`
+    (ref: deepxi/model.py:594)."""
     L, F = params.frame_L, pwr.shape[-1]
     z = jnp.zeros((F,), pwr.dtype)
-    state = dict(S=z, pool=jnp.zeros((L, F), pwr.dtype),
+    S0 = pwr[0] if S0 is None else jnp.asarray(S0, pwr.dtype)
+    state = dict(S=S0, pool=jnp.zeros((L, F), pwr.dtype),
                  noise=z, mean=z, std=z, noise1=z, mean1=z, std1=z,
                  noise2=z, mean2=z, std2=z)
 

@@ -91,9 +91,12 @@ def estimate_frame(model: MixMaxModel, p_post: jnp.ndarray, z: jnp.ndarray,
     o = rho * z[None] + beta_ik * (1.0 - rho)
     x_hat = jnp.sum(p_mm[:, None] * o, axis=0)
     x_hat = jnp.maximum(z + delta, x_hat)
-    # the returned presence is always weighted by the caller's posteriors
-    # (ref: hybridMixMax.py:344-346 sums rho with p_prev in both variants)
-    rho_bar = jnp.maximum(jnp.sum(p_post[:, None] * rho, axis=0),
+    # returned presence weighting matches the reference per variant: the
+    # static-prior path sums rho with the CALLER's posteriors
+    # (ref: hybridMixMax.py:344-346), the nn path with the MixMax
+    # posteriors themselves (ref: hybridMixMax.py:358-359)
+    rho_w = p_mm if nn_weighted else p_post
+    rho_bar = jnp.maximum(jnp.sum(rho_w[:, None] * rho, axis=0),
                           jnp.finfo(jnp.float32).tiny)
     return x_hat, rho_bar
 

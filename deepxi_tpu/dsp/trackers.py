@@ -151,7 +151,16 @@ def mcra2_track(pwr: jnp.ndarray, params: MCRAParams = MCRAParams()
 def imcra_track(pwr: jnp.ndarray, params: MCRAParams = MCRAParams(
         alpha_d=0.89, frame_L=100)) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """IMCRA: two-iteration smoothing with a-priori-SNR-driven soft speech
-    presence (ref: bak/multiphase.py:196-261)."""
+    presence (ref: bak/multiphase.py:196-261).
+
+    CATALOGUED DEFECT (not reproduced): the reference's imcra cannot
+    execute at all -- `update_S_hat` matmuls its [1, F] indicator against
+    the [1, F, F] smoothing matrix (multiphase.py:220), a shape error on
+    every input, and the fork only ever constructs the class in
+    commented-out code (deepxi/inp_tgt.py:1049-1050). Verified by
+    tests/test_ref_differential.py. This implementation follows Cohen
+    (2003) directly; its shared MCRA machinery is differentially validated
+    through mcra_track/mcra2_track."""
     state = _init_common(pwr[0])
     state.update(S_hat=state["S"], S_min_hat=state["S_min"],
                  S_tmp_hat=state["S_tmp"])
@@ -256,8 +265,12 @@ def mcra_tbrr_track(pwr: jnp.ndarray, pwr_b: jnp.ndarray, pwr_bm: jnp.ndarray,
         # hypothesis tests on beam/reference ratios (ref: multiphase.py:283-302)
         Lam_y = zb["S"] / jnp.maximum(zb["lambda_d"], 1e-16)
         Lam_bm = zr["S"] / jnp.maximum(zr["lambda_d"], 1e-16)
-        Omega = (zb["S"] - zb["lambda_d"]) / jnp.maximum(
-            zr["S"] - zr["lambda_d"], 1e-16)
+        # sign-preserving zero guard: a negative reference-channel excess
+        # must yield a negative Omega (H0t branch), not a huge positive one
+        # (ref: multiphase.py:285 divides unguarded)
+        d = zr["S"] - zr["lambda_d"]
+        Omega = (zb["S"] - zb["lambda_d"]) / jnp.where(
+            d == 0, jnp.finfo(pw.dtype).eps, d)
         H0 = (Lam_y <= LAMBDA_0).astype(pw.dtype)
         H1 = (1 - H0) * (Lam_bm <= LAMBDA_1).astype(pw.dtype)
         Hr = (1 - H0) * (1 - H1)
