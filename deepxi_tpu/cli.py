@@ -54,7 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     # paths (ref: deepxi/args.py:76-85)
     for flag in ("model_path", "set_path", "log_path", "data_path",
                  "test_x_path", "test_s_path", "test_d_path", "out_path",
-                 "saved_data_path"):
+                 "saved_data_path", "ali_path", "lexicon_path",
+                 "mixmax_stats", "vts_stats"):
         p.add_argument(f"--{flag}", type=str, default=None)
     # features (ref: deepxi/args.py:87-94)
     for flag in ("min_snr", "max_snr", "snr_inter", "f_s", "T_d", "T_s", "n_filters"):
@@ -120,8 +121,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     train_s_list = train_d_list = None
     if cfg.train:
         import os
-        train_s_list = batch_list(os.path.join(cfg.set_path, "train_clean_speech"),
-                                  "clean_speech", cfg.data_path)
+        clean_dir = os.path.join(cfg.set_path, "train_clean_speech")
+        if cfg.inp_tgt_type in ("MagPhonemes", "MagPhonme"):
+            # labelled list from forced alignments (ref: deepxi/utils.py:205-267)
+            if not (cfg.ali_path and cfg.lexicon_path):
+                print("MagPhonemes training needs --ali_path and --lexicon_path")
+                return 1
+            from deepxi_tpu.data import batch_list_labelled
+            train_s_list = batch_list_labelled(
+                clean_dir, cfg.ali_path, cfg.lexicon_path, "clean_speech",
+                cfg.data_path, frame_ms=cfg.T_s)
+        else:
+            train_s_list = batch_list(clean_dir, "clean_speech", cfg.data_path)
         train_d_list = batch_list(os.path.join(cfg.set_path, "train_noise"),
                                   "noise", cfg.data_path)
 

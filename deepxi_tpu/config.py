@@ -113,6 +113,16 @@ class Config:
     gain: Union[str, List[str]] = "mmse-lsa"
     saved_data_path: Optional[str] = None
 
+    # phoneme-classifier mode (MagPhonemes): forced-alignment + lexicon
+    # inputs for the labelled loader (ref: deepxi/utils.py:205-267)
+    ali_path: Optional[str] = None
+    lexicon_path: Optional[str] = None
+
+    # hybrid/classical inference artifacts (tools/build_gaussians.py):
+    # per-phoneme log-STMS Gaussians for hybrid_mixmax / tracking_vts
+    mixmax_stats: Optional[str] = None
+    vts_stats: Optional[str] = None
+
     # paths (ref: deepxi/args.py:76-85)
     model_path: str = "model"
     set_path: str = "set"

@@ -195,13 +195,28 @@ class DeepXiTPU:
         if cfg.resume_epoch > 0:
             state = restore_checkpoint(model_dir, cfg.resume_epoch - 1, state)
 
-        train_step = jax.jit(make_train_step(self.network, self.inp_tgt, tx,
-                                             cfg.loss_fnc), donate_argnums=(0,))
+        # phoneme-classifier mode: labelled loader + per-frame one-hot step
+        # (ref: deepxi/model.py:2061-2112 phoneme_mbatch_gen_aug; the fork's
+        # train() hard-requires phoneme labels, deepxi/model.py:164)
+        phoneme_mode = (cfg.inp_tgt_type in ("MagPhonemes", "MagPhonme"))
+        if phoneme_mode:
+            from deepxi_tpu.training import make_phoneme_train_step
+            if not (self.train_s_list
+                    and all("labels" in it for it in self.train_s_list)):
+                raise ValueError(
+                    "MagPhonemes training needs a labelled clean list; build "
+                    "it with data.batch_list_labelled (--ali_path/--lexicon_path)")
+            train_step = jax.jit(make_phoneme_train_step(
+                self.network, self.inp_tgt, tx), donate_argnums=(0,))
+        else:
+            train_step = jax.jit(make_train_step(self.network, self.inp_tgt, tx,
+                                                 cfg.loss_fnc), donate_argnums=(0,))
         loader = MiniBatchLoader(self.train_s_list, self.train_d_list,
                                  cfg.mbatch_size, cfg.snr_levels, seed=cfg.seed,
-                                 N_s=cfg.N_s)
+                                 N_s=cfg.N_s, with_labels=phoneme_mode)
 
-        val_set = self._build_val_set() if cfg.val_flag else None
+        val_set = self._build_val_set() if cfg.val_flag and not phoneme_mode \
+            else None
         eval_step = jax.jit(make_eval_step(self.network, self.inp_tgt, cfg.loss_fnc)) \
             if val_set else None
 
@@ -216,12 +231,15 @@ class DeepXiTPU:
             # a host sync and serialize dispatch against the loader
             step_losses = []
             n_steps = 0
-            for s, d, s_len, d_len, snr in loader.epoch(epoch):
+            for batch_np in loader.epoch(epoch):
+                s, d, s_len, d_len, snr = batch_np[:5]
                 key, k2 = jax.random.split(key)
                 batch = shard_batch(self.mesh, (jnp.asarray(s), jnp.asarray(d)))
-                state, metrics = train_step(state, k2, batch[0], batch[1],
-                                            jnp.asarray(s_len), jnp.asarray(d_len),
-                                            jnp.asarray(snr))
+                args = (state, k2, batch[0], batch[1], jnp.asarray(s_len),
+                        jnp.asarray(d_len), jnp.asarray(snr))
+                if phoneme_mode:
+                    args += (jnp.asarray(batch_np[5]),)
+                state, metrics = train_step(*args)
                 step_losses.append(metrics["loss"])
                 n_steps += 1
             mean_loss = float(np.mean([float(l) for l in step_losses])) \
@@ -415,6 +433,11 @@ class DeepXiTPU:
             cfg.test_epoch if isinstance(cfg.test_epoch, list) else [cfg.test_epoch])
         x_batch, x_lens, _, names = test_batch(test_x_path or cfg.test_x_path)
 
+        if out_type in ("hybrid_omlsa", "hybrid_mixmax", "tracking_hist",
+                        "tracking_vts"):
+            return self._infer_hybrid(out_type, params, x_batch, x_lens,
+                                      names, epochs)
+
         if (fast and out_type == "y"
                 and type(self.inp_tgt).__name__ in
                 ("MagXi", "MagXiGamma", "MagGain", "MagSMM", "MagMag")):
@@ -447,6 +470,100 @@ class DeepXiTPU:
                     path = self._write_output(out_dir, name, out_type, g,
                                               inp_v, sup_v, tgt_v, mel_bank)
                     written.append(path)
+        return written
+
+    def _load_mixmax_model(self):
+        """MixMax Gaussians from the inp_tgt (when set) or the
+        ``--mixmax_stats`` npz (means/stds/probs, per-phoneme log-STMS
+        statistics built by tools/build_gaussians.py -- the rebuild of the
+        fork's private-artifact loaders,
+        ref: hybrid/hybridMixMax.py:394-541)."""
+        mm = getattr(self.inp_tgt, "mixmax_model", None)
+        if mm is not None:
+            return mm
+        if self.cfg.mixmax_stats:
+            from deepxi_tpu.dsp.mixmax import gaussians_from_stats
+            z = np.load(self.cfg.mixmax_stats)
+            return gaussians_from_stats(z["means"], z["stds"], z["probs"])
+        raise ValueError("hybrid_mixmax needs --mixmax_stats (npz with "
+                         "means/stds/probs; see tools/build_gaussians.py)")
+
+    def _load_vts_model(self):
+        """VTS model from the ``--vts_stats`` npz (x_mu/x_sigma/prio_p/
+        g_mu/g_sigma; see tools/build_gaussians.py)."""
+        if not self.cfg.vts_stats:
+            raise ValueError("tracking_vts needs --vts_stats (npz with "
+                             "x_mu/x_sigma/prio_p/g_mu/g_sigma)")
+        from deepxi_tpu.dsp.vts import make_model
+        z = np.load(self.cfg.vts_stats)
+        return make_model(z["x_mu"], z["x_sigma"], z["prio_p"], z["g_mu"],
+                          z["g_sigma"], seed=self.cfg.seed)
+
+    def _infer_hybrid(self, out_type, params, x_batch, x_lens, names,
+                      epochs) -> List[str]:
+        """Classical / hybrid enhancement modes from the CLI
+        (ref: deepxi/model.py:334-1782 infer_hybrid*/infer_tracking_*;
+        fork dispatch at main.py:82-94). Modes:
+
+          hybrid_omlsa   -- MCRA-tracked OM-LSA (ref: model.py:694-840)
+          hybrid_mixmax  -- per-phoneme MixMax; uses the network's phoneme
+                            posteriors when inp_tgt is MagPhonemes
+                            (ref: model.py:542-692 infer_hybrid1)
+          tracking_hist  -- histogram-tracker spectral subtraction
+                            (ref: model.py:898-1256)
+          tracking_vts   -- VTS/GMM model compensation
+                            (ref: model.py:1465-1782)
+
+        Wavs land in out/<ver>/<e<N>|classical>/<out_type>/.
+        """
+        cfg = self.cfg
+        from deepxi_tpu import hybrid_infer
+        dims = dict(N_d=cfg.N_d, N_s=cfg.N_s, K=cfg.K)
+        use_net = (out_type == "hybrid_mixmax"
+                   and cfg.inp_tgt_type in ("MagPhonemes", "MagPhonme"))
+        mixmax_model = self._load_mixmax_model() \
+            if out_type == "hybrid_mixmax" else None
+        vts_model = self._load_vts_model() if out_type == "tracking_vts" else None
+
+        def make_fn(p):
+            if out_type == "hybrid_omlsa":
+                return lambda w: hybrid_infer.enhance_omlsa(w, **dims)
+            if out_type == "tracking_hist":
+                return lambda w: hybrid_infer.enhance_tracking_histogram(
+                    w, **dims)
+            if out_type == "tracking_vts":
+                return lambda w: hybrid_infer.enhance_vts(w, vts_model, **dims)
+            if use_net:
+                def fn(w):
+                    mag, _ = self.inp_tgt.observation(w)
+                    post = self.network.apply(p, mag[None])[0]
+                    return hybrid_infer.enhance_mixmax(
+                        w, mixmax_model, posteriors=post, **dims)
+                return fn
+            return lambda w: hybrid_infer.enhance_mixmax(w, mixmax_model, **dims)
+
+        written: List[str] = []
+        for e in (epochs if use_net else [None]):
+            p = None
+            if use_net:
+                p = params if params is not None else self.load_epoch(e)
+            sub = f"e{e}" if e is not None else "classical"
+            out_dir = os.path.join(cfg.out_path, cfg.ver, sub, out_type)
+            os.makedirs(out_dir, exist_ok=True)
+            # one jit per (mode, epoch); bucketed shapes bound recompiles,
+            # and jit is mandatory (eager complex breaks at the TPU host
+            # boundary -- see _jitted)
+            enh = self._jitted(f"hyb_{out_type}_{e}", make_fn(p))
+            for i, name in enumerate(names):
+                n = int(x_lens[i])
+                L = bucket_length(n, cfg.N_s)
+                w = np.zeros(L, np.int16)
+                w[:n] = x_batch[i, :n]
+                y = np.asarray(enh(jnp.asarray(w)))
+                n_out = (self.inp_tgt.n_frames(n) + 1) * cfg.N_s
+                path = os.path.join(out_dir, name + ".wav")
+                save_wav(path, y[:n_out], cfg.f_s)
+                written.append(path)
         return written
 
     def _infer_fast(self, params, x_batch, x_lens, names, gains, epochs,

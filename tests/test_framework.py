@@ -131,6 +131,89 @@ class TestInfer:
             assert all(os.path.exists(p) for p in written)
 
 
+class TestHybridInfer:
+    """Classical/hybrid enhancement from the driver (ref: the fork's
+    infer_hybrid*/infer_tracking_* modes, deepxi/model.py:334-1782)."""
+
+    def test_omlsa_and_histogram_modes(self, trained):
+        from deepxi_tpu.data import read_wav
+        root, dx, _ = trained
+        for mode in ("hybrid_omlsa", "tracking_hist"):
+            written = dx.infer(out_type=mode, epochs=[1])
+            assert len(written) == 2
+            for p in written:
+                assert f"classical/{mode}" in p.replace(os.sep, "/")
+                w, _ = read_wav(p)
+                assert len(w) > 8000 and np.isfinite(w).all()
+
+    def test_mixmax_requires_stats_then_runs(self, trained, tmp_path):
+        root, dx, _ = trained
+        old_cfg = dx.cfg
+        try:
+            with pytest.raises(ValueError, match="mixmax_stats"):
+                dx.infer(out_type="hybrid_mixmax", epochs=[1])
+            P, F = 6, 257
+            rng = np.random.RandomState(0)
+            stats = tmp_path / "gauss.npz"
+            np.savez(stats, means=rng.randn(P, F).astype(np.float32),
+                     stds=np.full((P, F), 0.5, np.float32),
+                     probs=np.full(P, 1 / P, np.float32))
+            dx.cfg = dx.cfg.replace(mixmax_stats=str(stats))
+            written = dx.infer(out_type="hybrid_mixmax", epochs=[1])
+            assert len(written) == 2 and all(os.path.exists(p) for p in written)
+        finally:
+            dx.cfg = old_cfg
+
+    def test_vts_mode(self, trained, tmp_path):
+        root, dx, _ = trained
+        old_cfg = dx.cfg
+        try:
+            P, F = 4, 257
+            rng = np.random.RandomState(1)
+            stats = tmp_path / "vts.npz"
+            np.savez(stats, x_mu=rng.randn(P, F).astype(np.float32),
+                     x_sigma=np.full((P, F), 0.7, np.float32),
+                     prio_p=np.full(P, 1 / P, np.float32),
+                     g_mu=rng.randn(F).astype(np.float32),
+                     g_sigma=np.full(F, 0.7, np.float32))
+            dx.cfg = dx.cfg.replace(vts_stats=str(stats))
+            written = dx.infer(out_type="tracking_vts", epochs=[1])
+            assert len(written) == 2
+            from deepxi_tpu.data import read_wav
+            for p in written:
+                w, _ = read_wav(p)
+                assert np.isfinite(w).all()
+        finally:
+            dx.cfg = old_cfg
+
+    def test_gaussian_builder_tool(self, dataset, tmp_path):
+        """tools/build_gaussians.py produces a valid artifact consumable by
+        both hybrid_mixmax and tracking_vts."""
+        import sys
+        sys.path.insert(0, str(os.path.join(os.path.dirname(__file__), "..", "tools")))
+        import build_gaussians
+        lex = tmp_path / "lex.txt"
+        lex.write_text("b  | b\nan | a n\n")
+        # alignments for the train set's sp*.wav files
+        lines = []
+        for i in range(6):
+            dur = (8000 + 1000 * i) / 16000
+            lines.append(f"sp{i:02d}\n0.00 {dur/2:.2f} b\n{dur/2:.2f} {dur:.2f} a1\n.")
+        ali = tmp_path / "out.ali"
+        ali.write_text("\n".join(lines) + "\n")
+        out = tmp_path / "g.npz"
+        rc = build_gaussians.main([
+            "--clean", str(dataset / "set" / "train_clean_speech"),
+            "--ali", str(ali), "--lexicon", str(lex),
+            "--noise", str(dataset / "set" / "train_noise"),
+            "--out", str(out), "--n_phonemes", "8"])
+        assert rc == 0
+        z = np.load(out)
+        assert z["means"].shape == (8, 257) and z["g_mu"].shape == (257,)
+        assert np.isfinite(z["means"]).all() and (z["stds"] > 0).all()
+        assert abs(z["probs"].sum() - 1.0) < 1e-5
+
+
 class TestObjective:
     def test_test_writes_csvs(self, trained):
         root, dx, _ = trained

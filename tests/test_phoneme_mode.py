@@ -140,3 +140,91 @@ class TestPhonemeTraining:
             losses.append(float(m["loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+    def test_framework_train_routes_labels(self, tmp_path):
+        """DeepXiTPU.train drives the labelled loader + phoneme step when
+        inp_tgt_type == MagPhonemes (the fork's central extension,
+        ref: deepxi/model.py:113-222 with phoneme_mbatch_gen_aug), and the
+        trained posteriors drive MixMax synthesis."""
+        from deepxi_tpu.cli import config_from_args
+        from deepxi_tpu.data import batch_list, batch_list_labelled, save_wav
+        from deepxi_tpu.dsp.mixmax import gaussians_from_stats
+        from deepxi_tpu.framework import DeepXiTPU
+
+        fs = 16000
+        rng = np.random.RandomState(3)
+        lex = tmp_path / "lex.txt"
+        lex.write_text("b  | b\nan | a n\n")
+        set_path = tmp_path / "set"
+        wav_dir = set_path / "train_clean_speech"
+        noise_dir = set_path / "train_noise"
+        ali_lines = []
+        for i in range(4):
+            n = 8192
+            save_wav(str(wav_dir / f"u{i}.wav"),
+                     (rng.randn(n) * 3000).astype(np.int16), fs)
+            save_wav(str(noise_dir / f"n{i}.wav"),
+                     (rng.randn(3 * n) * 1500).astype(np.int16), fs)
+            dur = n / fs
+            ali_lines.append(f"u{i}\n0.00 {dur/2:.2f} b\n{dur/2:.2f} {dur:.2f} a1\n.")
+        (tmp_path / "out.ali").write_text("\n".join(ali_lines) + "\n")
+
+        n_pho = 12
+        cfg = config_from_args([
+            "--ver", "pho-tiny", "--train", "1",
+            "--inp_tgt_type", "MagPhonemes", "--Noutp", str(n_pho),
+            "--network_type", "ResNetV2", "--d_model", "32", "--n_blocks", "2",
+            "--d_f", "16", "--k", "3", "--max_d_rate", "2",
+            "--unit_type", "ReLU->LN->W+b", "--mbatch_size", "2",
+            "--max_epochs", "2", "--val_flag", "0", "--min_snr", "0",
+            "--max_snr", "10", "--snr_inter", "5",
+            "--ali_path", str(tmp_path / "out.ali"),
+            "--lexicon_path", str(lex),
+            "--set_path", str(set_path),
+            "--data_path", str(tmp_path / "data"),
+            "--model_path", str(tmp_path / "model"),
+            "--log_path", str(tmp_path / "log"),
+            "--out_path", str(tmp_path / "out")])
+        assert cfg.ali_path and cfg.lexicon_path
+        s_list = batch_list_labelled(str(wav_dir), cfg.ali_path,
+                                     cfg.lexicon_path, "clean_speech",
+                                     cfg.data_path, frame_ms=cfg.T_s)
+        d_list = batch_list(str(noise_dir), "noise", cfg.data_path)
+        dx = DeepXiTPU(cfg, s_list, d_list)
+        losses = dx.train(verbose=False)
+        assert len(losses) == 2 and np.isfinite(losses).all()
+        assert losses[1] < losses[0]
+
+        # posteriors from the trained classifier drive MixMax synthesis
+        params = dx.load_epoch(2)
+        model = gaussians_from_stats(rng.randn(n_pho, 257),
+                                     np.full((n_pho, 257), 0.5),
+                                     np.full(n_pho, 1 / n_pho))
+        it = dx.inp_tgt.replace(mixmax_model=model)
+        x = (rng.randn(8192) * 3000).astype(np.int16)
+        mag, pha = it.observation(jnp.asarray(x))
+        post = dx.network.apply(params, mag[None])[0]
+        assert post.shape[-1] == n_pho
+        y = it.enhanced_speech(mag, pha, post, "mixmax")
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_framework_rejects_unlabelled_list(self, tmp_path):
+        from deepxi_tpu.config import Config
+        from deepxi_tpu.data import save_wav
+        from deepxi_tpu.framework import DeepXiTPU
+        fs = 16000
+        rng = np.random.RandomState(4)
+        wav_dir = tmp_path / "set" / "train_clean_speech"
+        save_wav(str(wav_dir / "u0.wav"),
+                 (rng.randn(8192) * 3000).astype(np.int16), fs)
+        items = [{"file_path": str(wav_dir / "u0.wav"), "wav_len": 8192}]
+        cfg = Config(ver="pho-bad", inp_tgt_type="MagPhonemes", Noutp=4,
+                     network_type="ResNetV2", d_model=32, n_blocks=2, d_f=16,
+                     k=3, max_d_rate=2, unit_type="ReLU->LN->W+b",
+                     mbatch_size=1, max_epochs=1, val_flag=False,
+                     data_path=str(tmp_path / "data"),
+                     model_path=str(tmp_path / "model"),
+                     log_path=str(tmp_path / "log"))
+        dx = DeepXiTPU(cfg, items, items)
+        with pytest.raises(ValueError, match="labelled"):
+            dx.train(verbose=False)
