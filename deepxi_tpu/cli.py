@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spect_dist", type=str_to_bool, default=False)
     p.add_argument("--prelim", type=str_to_bool, default=False)
     p.add_argument("--sd_snr_levels", type=str_to_list, default=None)
+    p.add_argument("--sd_target", type=str_to_list, default=None,
+                   help="spectral-distortion target(s): xi and/or gamma")
     p.add_argument("--network_type", type=str, default=None)
     p.add_argument("--inp_tgt_type", type=str, default=None)
     # train (ref: deepxi/args.py:45-57)
@@ -148,7 +150,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     if cfg.test:
         deepxi.test()
     if cfg.spect_dist:
-        deepxi.spectral_distortion()
+        targets = cfg.sd_target if isinstance(cfg.sd_target, list) \
+            else [cfg.sd_target]
+        for tgt in targets:
+            deepxi.spectral_distortion(target=tgt)
     if not (cfg.train or cfg.infer or cfg.test or cfg.spect_dist or cfg.prelim):
         print("nothing to do: pass --train 1, --infer 1, --test 1, "
               "--spect_dist 1 and/or --prelim 1")

@@ -55,6 +55,7 @@ class Config:
     spect_dist: bool = False
     prelim: bool = False
     sd_snr_levels: Any = dataclasses.field(default_factory=lambda: [-5, 0, 5, 10, 15])
+    sd_target: Any = "xi"  # "xi", "gamma", or a list of both
 
     # features (ref: main.py:33-35 derivations)
     f_s: int = 16000

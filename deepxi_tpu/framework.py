@@ -290,13 +290,19 @@ class DeepXiTPU:
             print("SNR target|actual: {:.2f}|{:.2f} (dB).".format(float(snr[i]), actual))
 
     def spectral_distortion(self, params=None, epochs=None,
-                            snr_levels=None) -> Dict:
-        """Spectral-distortion study: RMS dB distance between instantaneous
-        xi and the estimator's xi_hat per (noise, SNR) condition -- the
-        rebuild of the MATLAB scorer (ref: spectral_distortion_xi.m:1-124;
-        flag ref: deepxi/args.py:38,43). Requires paired clean/noise test
-        sets (test_s_path / test_d_path). Writes
-        log/results/<ver>_e<N>_spect_dist.csv."""
+                            snr_levels=None, target: str = "xi") -> Dict:
+        """Spectral-distortion study: RMS dB distance between an
+        instantaneous SNR and the estimator's inverse-mapped estimate per
+        (noise, SNR) condition -- the rebuild of the MATLAB scorers
+        (target="xi": spectral_distortion_xi.m:1-124; target="gamma":
+        spectral_distortion_gamma.m:1-122, which scores the a posteriori
+        SNR gamma = X^2/D^2 against gamma_hat; flag ref:
+        deepxi/args.py:38,43). Requires paired clean/noise test sets
+        (test_s_path / test_d_path). Writes
+        log/results/<ver>_e<N>_spect_dist[_gamma].csv."""
+        if target not in ("xi", "gamma"):
+            raise ValueError(f"spectral_distortion target must be xi|gamma, "
+                             f"got {target!r}")
         cfg = self.cfg
         snr_levels = snr_levels or cfg.sd_snr_levels
         epochs = list(epochs) if epochs else (
@@ -311,11 +317,15 @@ class DeepXiTPU:
 
         def _mix_xi(key, s, d, s_len, d_len, snr):
             s_f, d_f, x_f, nf = it.mix(key, s, d, s_len, d_len, snr)
-            S, D, X = it._stms(s_f)[0], it._stms(d_f)[0], it._stms(x_f)[0]
-            return sig.xi(S, D), X, nf
+            D, X = it._stms(d_f)[0], it._stms(x_f)[0]
+            if target == "xi":
+                S = it._stms(s_f)[0]
+                return sig.xi(S, D), X, nf
+            return sig.gamma(X, D), X, nf
 
-        mix_xi = self._jitted("sd_mix", _mix_xi)
-        xi_inv = self._jitted("xi_hat", it.xi_hat)
+        mix_xi = self._jitted(f"sd_mix_{target}", _mix_xi)
+        xi_inv = self._jitted(f"sd_inv_{target}",
+                              it.xi_hat if target == "xi" else it.gamma_hat)
         sd_fn = self._jitted("sd_metric", sig.spectral_distortion)
 
         for e in epochs:
@@ -347,8 +357,9 @@ class DeepXiTPU:
                     vals.append(sd)
                 results[(e, snr_level)] = float(np.mean(vals))
                 rows.append((snr_level, float(np.mean(vals))))
-            with open(os.path.join(res_dir, f"{cfg.ver}_e{e}_spect_dist.csv"), "w") as f:
-                f.write("snr_db,xi_spectral_distortion_db\n")
+            suffix = "spect_dist" if target == "xi" else "spect_dist_gamma"
+            with open(os.path.join(res_dir, f"{cfg.ver}_e{e}_{suffix}.csv"), "w") as f:
+                f.write(f"snr_db,{target}_spectral_distortion_db\n")
                 for snr_level, v in rows:
                     f.write(f"{snr_level},{v:.4f}\n")
         return results

@@ -251,6 +251,35 @@ class TestObjective:
         assert 0.0 <= vals[4] <= 100.0  # STOI reported in percent
 
 
+class TestSpectralDistortion:
+    def test_xi_and_gamma_variants(self, trained):
+        """Both MATLAB scorers rebuilt: xi (spectral_distortion_xi.m) and
+        gamma (spectral_distortion_gamma.m)."""
+        root, dx, _ = trained
+        noise_dir = root / "set" / "test_noise"
+        rng = np.random.RandomState(7)
+        for i in range(2):
+            save_wav(str(noise_dir / f"tn{i}.wav"),
+                     (rng.randn(32000) * 2000).astype(np.int16), 16000)
+        old_cfg = dx.cfg
+        try:
+            dx.cfg = dx.cfg.replace(test_d_path=str(noise_dir),
+                                    sd_snr_levels=[0, 5])
+            res_dir = os.path.join(dx.cfg.log_path, "results")
+            r_xi = dx.spectral_distortion(epochs=[1], target="xi")
+            r_g = dx.spectral_distortion(epochs=[1], target="gamma")
+            assert set(r_xi) == {(1, 0), (1, 5)} == set(r_g)
+            assert all(np.isfinite(v) for v in list(r_xi.values()) + list(r_g.values()))
+            # xi distortion of an untrained-ish net differs from gamma's
+            assert os.path.exists(os.path.join(res_dir, "tiny_e1_spect_dist.csv"))
+            gpath = os.path.join(res_dir, "tiny_e1_spect_dist_gamma.csv")
+            assert open(gpath).readline().strip() == "snr_db,gamma_spectral_distortion_db"
+            with pytest.raises(ValueError):
+                dx.spectral_distortion(epochs=[1], target="bogus")
+        finally:
+            dx.cfg = old_cfg
+
+
 class TestCLIConfig:
     def test_preset_and_overrides(self):
         cfg = config_from_args(["--ver", "resnet-1.1c", "--train", "1",
