@@ -101,7 +101,10 @@ def read_keras_checkpoint(ckpt_prefix: str) -> Dict[int, Dict[str, np.ndarray]]:
 
     Returns:
       {layer_index: {attr_name: array}} with attrs like kernel/bias/gamma/
-      beta/embeddings/query_kernel/...
+      beta/embeddings/query_kernel/... Nested sublayers (e.g. the custom
+      MHANet V1 attention layer's ``linear_q`` Conv1Ds, or a
+      TimeDistributed-wrapped Dense) keep their slash-joined subpath as the
+      attr name ("linear_q/kernel", "layer/kernel", "cell/recurrent_kernel").
     """
     import re
 
@@ -110,7 +113,7 @@ def read_keras_checkpoint(ckpt_prefix: str) -> Dict[int, Dict[str, np.ndarray]]:
     rdr = tf.train.load_checkpoint(ckpt_prefix)
     out: Dict[int, Dict[str, np.ndarray]] = {}
     for key in rdr.get_variable_to_shape_map():
-        m = re.match(r"layer_with_weights-(\d+)/([^/]+)/\.ATTRIBUTES/VARIABLE_VALUE$", key)
+        m = re.match(r"layer_with_weights-(\d+)/(.+)/\.ATTRIBUTES/VARIABLE_VALUE$", key)
         if m:
             out.setdefault(int(m.group(1)), {})[m.group(2)] = rdr.get_tensor(key)
     return out
@@ -194,6 +197,100 @@ def import_mhanet_v3(ckpt_prefix, n_blocks: int = 5) -> Dict[str, Any]:
         ln2 = layers[idx]; idx += 1
         p[f"block{i}_ln2"] = {"scale": ln2["gamma"], "bias": ln2["beta"]}
     p["out_conv"] = {"kernel": layers[idx]["kernel"], "bias": layers[idx]["bias"]}
+    return {"params": _np_tree(p)}
+
+
+def import_mhanet_v1(ckpt_prefix, n_blocks: int = 5) -> Dict[str, Any]:
+    """Map an MHANet (V1) Keras checkpoint to our flax params.
+
+    Keras functional topological order (ref: deepxi/network/attention.py:
+    15-101): 0 in_conv(kernel, no bias), 1 in_ln(gamma,beta), then per block
+    [custom MultiHeadAttention (four no-bias Conv1D sublayers linear_q/k/v/o,
+    ref: attention.py:119-122), ln1, ff1 Conv1D(d_ff, bias),
+    ff2 Conv1D(d_model, bias), ln2], finally out_conv(bias).
+
+    Our MultiHeadAttentionV1 projections are Dense [d, d]; the reference's
+    1x1 Conv1D kernels [1, d, d] drop the leading axis.
+    `ckpt_prefix` may also be a pre-read {layer_index: {attr: array}} dict.
+    """
+    layers = (ckpt_prefix if isinstance(ckpt_prefix, dict)
+              else read_keras_checkpoint(ckpt_prefix))
+    p: Dict[str, Any] = {}
+    p["in_conv"] = {"kernel": layers[0]["kernel"]}
+    p["in_ln"] = {"scale": layers[1]["gamma"], "bias": layers[1]["beta"]}
+    idx = 2
+    for i in range(n_blocks):
+        mha = layers[idx]; idx += 1
+        p[f"block{i}_mha"] = {
+            name: {"kernel": np.asarray(mha[f"{name}/kernel"])[0]}
+            for name in ("linear_q", "linear_k", "linear_v", "linear_o")}
+        ln1 = layers[idx]; idx += 1
+        p[f"block{i}_ln1"] = {"scale": ln1["gamma"], "bias": ln1["beta"]}
+        ff1 = layers[idx]; idx += 1
+        p[f"block{i}_ff1"] = {"kernel": np.asarray(ff1["kernel"])[0],
+                              "bias": ff1["bias"]}
+        ff2 = layers[idx]; idx += 1
+        p[f"block{i}_ff2"] = {"kernel": np.asarray(ff2["kernel"])[0],
+                              "bias": ff2["bias"]}
+        ln2 = layers[idx]; idx += 1
+        p[f"block{i}_ln2"] = {"scale": ln2["gamma"], "bias": ln2["beta"]}
+    p["out_conv"] = {"kernel": layers[idx]["kernel"],
+                     "bias": layers[idx]["bias"]}
+    return {"params": _np_tree(p)}
+
+
+def import_mhanet_v2(ckpt_prefix, n_blocks: int = 5) -> Dict[str, Any]:
+    """Map an MHANetV2 Keras checkpoint: identical to V3 minus the learned
+    positional embedding (ref: deepxi/network/attention.py:278-353)."""
+    layers = (ckpt_prefix if isinstance(ckpt_prefix, dict)
+              else read_keras_checkpoint(ckpt_prefix))
+    # re-key so the V3 mapper sees a pos_emb slot; V2 has none, so shift
+    # every block layer up by one and synthesise an empty embedding
+    shifted: Dict[int, Dict[str, np.ndarray]] = {0: layers[0], 1: layers[1]}
+    d_model = np.asarray(layers[0]["kernel"]).shape[-1]
+    shifted[2] = {"embeddings": np.zeros((1, d_model), np.float32)}
+    last = max(layers)
+    for n in range(2, last + 1):
+        shifted[n + 1] = layers[n]
+    out = import_mhanet_v3(shifted, n_blocks=n_blocks)
+    del out["params"]["pos_emb"]
+    return out
+
+
+def import_reslstm(ckpt_prefix, n_blocks: int = 5) -> Dict[str, Any]:
+    """Map a ResLSTM Keras checkpoint to our flax params.
+
+    Keras order (ref: deepxi/network/rnn.py:13-79): 0 ff Dense(no bias),
+    1 ff LN(gamma,beta), one LSTM per block (cell/kernel [in, 4h],
+    cell/recurrent_kernel [h, 4h], cell/bias [4h], gate order i|f|g|o),
+    finally TimeDistributed(Dense) (layer/kernel, layer/bias).
+
+    flax's OptimizedLSTMCell keeps per-gate parameters: i{i,f,g,o} input
+    kernels (no bias) and h{i,f,g,o} recurrent kernels (with bias); Keras'
+    single bias vector lands on the recurrent gates (the cell adds it once
+    either way). `ckpt_prefix` may be a pre-read dict.
+    """
+    layers = (ckpt_prefix if isinstance(ckpt_prefix, dict)
+              else read_keras_checkpoint(ckpt_prefix))
+    p: Dict[str, Any] = {}
+    p["ff_dense"] = {"kernel": layers[0]["kernel"]}
+    p["ff_ln"] = {"scale": layers[1]["gamma"], "bias": layers[1]["beta"]}
+    for i in range(n_blocks):
+        lw = layers[2 + i]
+        K = np.asarray(lw["cell/kernel"])
+        R = np.asarray(lw["cell/recurrent_kernel"])
+        b = np.asarray(lw["cell/bias"])
+        h = R.shape[0]
+        cell: Dict[str, Any] = {}
+        for g, name in enumerate("ifgo"):
+            sl = slice(g * h, (g + 1) * h)
+            cell[f"i{name}"] = {"kernel": K[:, sl]}
+            cell[f"h{name}"] = {"kernel": R[:, sl], "bias": b[sl]}
+        p[f"block{i}_lstm"] = {"cell": cell}
+    out = layers[2 + n_blocks]
+    k = out.get("layer/kernel", out.get("kernel"))
+    bo = out.get("layer/bias", out.get("bias"))
+    p["out_dense"] = {"kernel": k, "bias": bo}
     return {"params": _np_tree(p)}
 
 

@@ -101,6 +101,155 @@ class TestMHANetImport:
         assert np.isfinite(np.asarray(out)).all()
 
 
+def _mha_common_layers(rng, d_model, n_blocks, n_outp, d_ff, mha_entry):
+    """Synthetic checkpoint layers shared by the V1/V2 builders: in conv,
+    in LN, per block [mha, ln1, ff1, ff2, ln2], out conv."""
+    layers = {0: {"kernel": rng.randn(1, n_outp, d_model).astype(np.float32)},
+              1: {"gamma": rng.randn(d_model).astype(np.float32),
+                  "beta": rng.randn(d_model).astype(np.float32)}}
+    idx = 2
+    for _ in range(n_blocks):
+        layers[idx] = mha_entry(); idx += 1
+        layers[idx] = {"gamma": rng.randn(d_model).astype(np.float32),
+                       "beta": rng.randn(d_model).astype(np.float32)}; idx += 1
+        layers[idx] = {"kernel": rng.randn(1, d_model, d_ff).astype(np.float32),
+                       "bias": rng.randn(d_ff).astype(np.float32)}; idx += 1
+        layers[idx] = {"kernel": rng.randn(1, d_ff, d_model).astype(np.float32),
+                       "bias": rng.randn(d_model).astype(np.float32)}; idx += 1
+        layers[idx] = {"gamma": rng.randn(d_model).astype(np.float32),
+                       "beta": rng.randn(d_model).astype(np.float32)}; idx += 1
+    layers[idx] = {"kernel": rng.randn(1, d_model, n_outp).astype(np.float32),
+                   "bias": rng.randn(n_outp).astype(np.float32)}
+    return layers
+
+
+class TestMHANetV1Import:
+    def test_roundtrip_and_apply(self):
+        from deepxi_tpu.compat import import_mhanet_v1
+        rng = np.random.RandomState(2)
+        d_model, n_heads, n_blocks, n_outp = 32, 4, 2, 257
+
+        def mha_entry():
+            return {f"linear_{n}/kernel":
+                    rng.randn(1, d_model, d_model).astype(np.float32)
+                    for n in "qkvo"}
+
+        layers = _mha_common_layers(rng, d_model, n_blocks, n_outp,
+                                    d_model * 4, mha_entry)
+        params = import_mhanet_v1(layers, n_blocks=n_blocks)
+        net = network_selector("MHANet", n_outp, d_model=d_model,
+                               n_blocks=n_blocks, n_heads=n_heads,
+                               causal=True, outp_act="Sigmoid")
+        ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, n_outp)))
+        assert (jax.tree_util.tree_map(lambda a: a.shape, ref)
+                == jax.tree_util.tree_map(lambda a: a.shape, params))
+        np.testing.assert_array_equal(
+            params["params"]["block0_mha"]["linear_q"]["kernel"],
+            layers[2]["linear_q/kernel"][0])
+        np.testing.assert_array_equal(
+            params["params"]["block1_ff2"]["bias"], layers[10]["bias"])
+        out = net.apply(jax.tree_util.tree_map(jnp.asarray, params),
+                        jnp.abs(jnp.asarray(rng.randn(1, 8, n_outp), jnp.float32)))
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestMHANetV2Import:
+    def test_roundtrip_and_apply(self):
+        from deepxi_tpu.compat import import_mhanet_v2
+        rng = np.random.RandomState(3)
+        d_model, n_heads, n_blocks, n_outp = 32, 4, 2, 257
+        d_k = d_model // n_heads
+
+        def mha_entry():
+            return {"query_kernel": rng.randn(n_heads, d_model, d_k).astype(np.float32),
+                    "key_kernel": rng.randn(n_heads, d_model, d_k).astype(np.float32),
+                    "value_kernel": rng.randn(n_heads, d_model, d_k).astype(np.float32),
+                    "projection_kernel": rng.randn(n_heads, d_k, d_model).astype(np.float32)}
+
+        layers = _mha_common_layers(rng, d_model, n_blocks, n_outp,
+                                    d_model * 4, mha_entry)
+        params = import_mhanet_v2(layers, n_blocks=n_blocks)
+        assert "pos_emb" not in params["params"]
+        net = network_selector("MHANetV2", n_outp, d_model=d_model,
+                               n_blocks=n_blocks, n_heads=n_heads,
+                               causal=True, outp_act="Sigmoid")
+        ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, n_outp)))
+        assert (jax.tree_util.tree_map(lambda a: a.shape, ref)
+                == jax.tree_util.tree_map(lambda a: a.shape, params))
+        np.testing.assert_array_equal(
+            params["params"]["block1_mha"]["key_kernel"],
+            layers[7]["key_kernel"])
+        out = net.apply(jax.tree_util.tree_map(jnp.asarray, params),
+                        jnp.abs(jnp.asarray(rng.randn(1, 8, n_outp), jnp.float32)))
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestResLSTMImport:
+    def test_numeric_parity_with_keras(self):
+        """Full numeric oracle: a live Keras model with the reference's
+        exact layer structure (ref: deepxi/network/rnn.py:13-79, with the
+        upstream return_sequences semantics) is sampled for weights; the
+        imported flax model must produce the same outputs on valid frames,
+        including under Masking(0.0) padding."""
+        tf = pytest.importorskip("tensorflow")
+        from deepxi_tpu.compat import import_reslstm
+
+        d_in, d_model, n_blocks, n_outp = 5, 8, 2, 7
+        from tensorflow.keras.layers import (LSTM, Add, Dense, Input,
+                                             LayerNormalization, Masking,
+                                             ReLU, TimeDistributed)
+        inp = Input(shape=(None, d_in))
+        mask = Masking(mask_value=0.0).compute_mask(inp)
+        x = Dense(d_model, use_bias=False)(inp)
+        x = LayerNormalization(axis=2, epsilon=1e-6)(x)
+        x = ReLU()(x)
+        for _ in range(n_blocks):
+            h = LSTM(d_model, return_sequences=True)(x, mask=mask)
+            x = Add()([x, h])
+        out = TimeDistributed(Dense(n_outp))(x)
+        kmodel = tf.keras.Model(inp, out)
+
+        # harvest weights in the reference's layer order
+        rng = np.random.RandomState(4)
+        layers = {}
+        idx = 0
+        for lyr in kmodel.layers:
+            w = lyr.get_weights()
+            if not w:
+                continue
+            # randomise so the test is not at init symmetry
+            w = [rng.randn(*a.shape).astype(np.float32) * 0.4 for a in w]
+            lyr.set_weights(w)
+            if isinstance(lyr, TimeDistributed):
+                layers[idx] = {"layer/kernel": w[0], "layer/bias": w[1]}
+            elif isinstance(lyr, LSTM):
+                layers[idx] = {"cell/kernel": w[0],
+                               "cell/recurrent_kernel": w[1],
+                               "cell/bias": w[2]}
+            elif isinstance(lyr, LayerNormalization):
+                layers[idx] = {"gamma": w[0], "beta": w[1]}
+            else:
+                layers[idx] = {"kernel": w[0]} if len(w) == 1 else \
+                    {"kernel": w[0], "bias": w[1]}
+            idx += 1
+
+        params = import_reslstm(layers, n_blocks=n_blocks)
+        net = network_selector("ResLSTM", n_outp, d_model=d_model,
+                               n_blocks=n_blocks, outp_act="Linear")
+        ref_shapes = jax.tree_util.tree_map(
+            lambda a: a.shape, net.init(jax.random.PRNGKey(0),
+                                        jnp.zeros((1, 4, d_in))))
+        assert ref_shapes == jax.tree_util.tree_map(lambda a: a.shape, params)
+
+        x_in = rng.randn(2, 12, d_in).astype(np.float32)
+        x_in[1, 8:] = 0.0  # padded tail -> Masking(0.0)
+        y_k = np.asarray(kmodel(x_in))
+        y_j = np.asarray(net.apply(
+            jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(x_in)))
+        np.testing.assert_allclose(y_j[0], y_k[0], atol=2e-5)
+        np.testing.assert_allclose(y_j[1, :8], y_k[1, :8], atol=2e-5)
+
+
 class TestShippedIndices:
     """Against the real (truncated) checkpoints: shapes in the index must
     line up with our flax trees, proving the positional mapping."""

@@ -1,0 +1,134 @@
+"""Quality-parity campaign: train the flagship preset on the synthetic
+corpus and score every BASELINE.md column with the in-framework DEMAND-VB
+composite driver (VERDICT round-1 item 8).
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/quality_campaign.py \
+        --work /tmp/campaign --epochs 150
+
+Produces under --work: the corpus, checkpoints, log/results CSVs +
+results.txt, and writes a markdown table (noisy vs enhanced, all columns)
+to <work>/campaign_table.md plus a copy of the result CSVs for check-in.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+_TOOLS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_TOOLS))
+sys.path.insert(0, _TOOLS)
+
+
+def score_noisy_baseline(cfg):
+    """Composite scores of the unprocessed noisy test set (the 'Noisy
+    speech' row of BASELINE.md's tables)."""
+    from deepxi_tpu.data import test_batch
+    from deepxi_tpu.metrics import composite
+    from deepxi_tpu.metrics import stoi as stoi_fn
+    from deepxi_tpu.metrics.pesq import pesq as pesq_fn
+
+    x_batch, x_lens, _, x_names = test_batch(cfg.test_x_path)
+    s_batch, s_lens, _, s_names = test_batch(cfg.test_s_path)
+    acc = {}
+    for i, name in enumerate(x_names):
+        ref_idx = next(j for j, b in enumerate(s_names) if b in name)
+        s = s_batch[ref_idx, :s_lens[ref_idx]].astype(np.float64) / 32768.0
+        x = x_batch[i, : len(s)].astype(np.float64) / 32768.0
+        pesq_nb = pesq_fn(s, x, cfg.f_s, mode="nb")
+        comp = composite(s, x, cfg.f_s, pesq_mos=pesq_nb)
+        comp["STOI"] = 100.0 * stoi_fn(s, x, cfg.f_s)
+        comp["MOS-LQO"] = pesq_fn(s, x, cfg.f_s, mode="wb")
+        for k, v in comp.items():
+            acc.setdefault(k, []).append(v)
+    return {k: float(np.mean(v)) for k, v in acc.items()}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--work", default="/tmp/quality_campaign")
+    ap.add_argument("--ver", default="resnet-1.1c")
+    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--n_train", type=int, default=300)
+    ap.add_argument("--gain", default="mmse-lsa")
+    ap.add_argument("--skip_corpus", action="store_true")
+    ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--copy_results_to", default=None,
+                    help="directory to copy result CSVs + table into")
+    args = ap.parse_args(argv)
+
+    os.makedirs(args.work, exist_ok=True)
+    os.chdir(args.work)
+
+    if not args.skip_corpus:
+        import synth_corpus
+        print("== building synthetic corpus ==", flush=True)
+        synth_corpus.build("set", n_train=args.n_train)
+
+    from deepxi_tpu.config import preset
+    from deepxi_tpu.data import batch_list
+    from deepxi_tpu.framework import DeepXiTPU
+
+    cfg = preset(args.ver, max_epochs=args.epochs, test_epoch=args.epochs,
+                 gain=args.gain, train=True, val_flag=True)
+    s_list = batch_list(os.path.join(cfg.set_path, "train_clean_speech"),
+                        "clean_speech", cfg.data_path)
+    d_list = batch_list(os.path.join(cfg.set_path, "train_noise"),
+                        "noise", cfg.data_path)
+    dx = DeepXiTPU(cfg, s_list, d_list)
+
+    if not args.skip_train:
+        print(f"== training {args.ver} for {args.epochs} epochs ==", flush=True)
+        t0 = time.time()
+        losses = dx.train(verbose=True)
+        print(f"trained in {time.time() - t0:.0f}s; "
+              f"loss {losses[0]:.4f} -> {losses[-1]:.4f}", flush=True)
+
+    print("== scoring noisy baseline ==", flush=True)
+    noisy = score_noisy_baseline(cfg)
+    print({k: round(v, 2) for k, v in sorted(noisy.items())}, flush=True)
+
+    print("== objective test (composite driver) ==", flush=True)
+    results = dx.test(epochs=[args.epochs], gains=[args.gain])
+    res = results[(args.epochs, args.gain)]
+    enh = {}
+    for (ns, sl, m), vals in res.items():
+        enh.setdefault(m, []).extend(vals)
+    enh = {k: float(np.mean(v)) for k, v in enh.items()}
+    print({k: round(v, 2) for k, v in sorted(enh.items())}, flush=True)
+
+    cols = ("CSIG", "CBAK", "COVL", "PESQ", "STOI", "SegSNR", "SNR",
+            "eSTOI", "MOS-LQO")
+    lines = [
+        "| Signal | " + " | ".join(cols) + " |",
+        "|---|" + "---|" * len(cols),
+        "| Noisy (unprocessed) | " + " | ".join(
+            f"{noisy.get(c, float('nan')):.2f}" for c in cols) + " |",
+        f"| {args.ver} e{args.epochs} {args.gain} | " + " | ".join(
+            f"{enh.get(c, float('nan')):.2f}" for c in cols) + " |",
+    ]
+    table = "\n".join(lines) + "\n"
+    with open("campaign_table.md", "w") as f:
+        f.write(table)
+    print(table, flush=True)
+
+    if args.copy_results_to:
+        import shutil
+        dst = args.copy_results_to
+        os.makedirs(dst, exist_ok=True)
+        shutil.copy("campaign_table.md", dst)
+        res_dir = os.path.join(cfg.log_path, "results")
+        for fn in os.listdir(res_dir):
+            shutil.copy(os.path.join(res_dir, fn), dst)
+        loss_csv = os.path.join(cfg.log_path, "loss", f"{cfg.ver}.csv")
+        if os.path.exists(loss_csv):
+            shutil.copy(loss_csv, dst)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

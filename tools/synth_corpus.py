@@ -1,0 +1,186 @@
+"""Synthetic speech-like corpus generator.
+
+No real speech corpus ships in this environment (the VoiceBank-DEMAND data
+behind BASELINE.md's tables is external), so quality campaigns train on
+synthetic speech: a source-filter model -- glottal-pulse harmonics with
+drifting pitch, piecewise vowel formant filters, syllabic amplitude
+envelopes with pauses, and fricative noise segments -- plus a bank of noise
+types (white, pink, brown, hum, babble, bursts). This mirrors the role of
+the reference's dataset builders (ref: set/deep_xi_train_set.m:1-249) while
+staying self-contained.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (F1, F2, F3) Hz of common vowels, classic Peterson-Barney ballpark
+_VOWELS = [(730, 1090, 2440), (270, 2290, 3010), (300, 870, 2240),
+           (530, 1840, 2480), (640, 1190, 2390), (490, 1350, 1690),
+           (390, 1990, 2550), (570, 840, 2410)]
+
+
+def _formant_filter(x: np.ndarray, formants, fs: int) -> np.ndarray:
+    """Cascade of 2nd-order resonators at the formant frequencies."""
+    from scipy.signal import lfilter
+    y = x
+    for f0, bw in zip(formants, (80.0, 120.0, 160.0)):
+        r = np.exp(-np.pi * bw / fs)
+        theta = 2.0 * np.pi * f0 / fs
+        a = [1.0, -2.0 * r * np.cos(theta), r * r]
+        y = lfilter([1.0 - r], a, y)
+    return y
+
+
+def synth_utterance(rng: np.random.RandomState, seconds: float = 4.0,
+                    fs: int = 16000) -> np.ndarray:
+    """One synthetic utterance, int16."""
+    n = int(seconds * fs)
+    t = np.arange(n) / fs
+    pitch = rng.uniform(85, 230)
+    # drifting pitch contour
+    f0 = pitch * (1.0 + 0.12 * np.sin(2 * np.pi * rng.uniform(0.3, 1.2) * t)
+                  + 0.05 * np.cumsum(rng.randn(n)) / np.sqrt(n))
+    phase = 2.0 * np.pi * np.cumsum(f0) / fs
+    # glottal-ish source: harmonics with 1/k rolloff
+    src = sum(np.sin(k * phase) / k for k in range(1, 13))
+    out = np.zeros(n)
+    pos = 0
+    while pos < n:
+        seg = int(rng.uniform(0.08, 0.3) * fs)
+        end = min(pos + seg, n)
+        if rng.rand() < 0.18:   # pause
+            pass
+        elif rng.rand() < 0.22:  # fricative: shaped noise
+            noise = rng.randn(end - pos)
+            from scipy.signal import lfilter
+            out[pos:end] = 0.25 * lfilter([1, -0.97], [1], noise)
+        else:                    # voiced: formant-filtered source
+            vowel = _VOWELS[rng.randint(len(_VOWELS))]
+            out[pos:end] = _formant_filter(src[pos:end], vowel, fs)
+        pos = end
+    # syllabic envelope
+    env = 0.55 + 0.45 * np.sin(2 * np.pi * rng.uniform(2.5, 4.5) * t
+                               + rng.uniform(0, 2 * np.pi))
+    out *= env
+    out /= max(np.abs(out).max(), 1e-9)
+    return (out * rng.uniform(0.25, 0.45) * 32767).astype(np.int16)
+
+
+def synth_noise(rng: np.random.RandomState, kind: str, seconds: float = 30.0,
+                fs: int = 16000) -> np.ndarray:
+    """One noise recording, int16."""
+    n = int(seconds * fs)
+    if kind == "white":
+        x = rng.randn(n)
+    elif kind == "pink":
+        X = np.fft.rfft(rng.randn(n))
+        f = np.maximum(np.fft.rfftfreq(n, 1 / fs), 1.0)
+        x = np.fft.irfft(X / np.sqrt(f), n)
+    elif kind == "brown":
+        x = np.cumsum(rng.randn(n))
+        x -= np.linspace(x[0], x[-1], n)
+    elif kind == "hum":
+        t = np.arange(n) / fs
+        x = sum(np.sin(2 * np.pi * 50 * k * t + rng.uniform(0, 6)) / k
+                for k in range(1, 6)) + 0.2 * rng.randn(n)
+    elif kind == "babble":
+        x = sum(synth_utterance(rng, seconds, fs).astype(np.float64)
+                for _ in range(6)) / 6.0 / 32767.0
+        # babble has no pauses in aggregate; renormalise below
+    elif kind == "bursts":
+        x = 0.15 * rng.randn(n)
+        for _ in range(int(seconds * 2)):
+            p = rng.randint(0, n - fs // 4)
+            x[p:p + fs // 4] += rng.randn(fs // 4) * rng.uniform(1.0, 3.0)
+    else:
+        raise ValueError(kind)
+    x = x / max(np.abs(x).max(), 1e-9)
+    return (x * 0.35 * 32767).astype(np.int16)
+
+
+NOISE_KINDS = ("white", "pink", "brown", "hum", "babble", "bursts")
+
+
+def build(out_dir: str, n_train: int = 300, n_test: int = 24,
+          seconds: float = 4.0, seed: int = 0, fs: int = 16000,
+          test_snrs=(-5, 0, 5, 10, 15)) -> None:
+    """Write the full Deep Xi set layout: train/val dirs, plus a noisy test
+    set named `<clean>_<noise>_<snr>dB.wav` with clean references
+    (the reference's layout, ref: set/info.txt, deep_xi_test_set.m)."""
+    from deepxi_tpu.data.wavio import save_wav
+    from deepxi_tpu.sig.mix import add_noise
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    d = {s: os.path.join(out_dir, s) for s in
+         ("train_clean_speech", "train_noise", "val_clean_speech",
+          "val_noise", "test_clean_speech", "test_noisy_speech", "test_noise")}
+    for p in d.values():
+        os.makedirs(p, exist_ok=True)
+
+    for i in range(n_train):
+        save_wav(os.path.join(d["train_clean_speech"], f"sp{i:04d}.wav"),
+                 synth_utterance(rng, seconds, fs), fs)
+    for k in NOISE_KINDS:
+        for j in range(3):
+            save_wav(os.path.join(d["train_noise"], f"{k}{j}.wav"),
+                     synth_noise(rng, k, 30.0, fs), fs)
+            if j == 0:
+                save_wav(os.path.join(d["test_noise"], f"{k}.wav"),
+                         synth_noise(rng, k, 30.0, fs), fs)
+
+    # validation pairs: identical names, `_XdB` suffix
+    # (contract ref: deepxi/utils.py:136-202)
+    for i in range(max(n_train // 10, 4)):
+        snr = int(rng.choice([-5, 0, 5, 10]))
+        s = synth_utterance(rng, seconds, fs)
+        dn = synth_noise(rng, NOISE_KINDS[i % len(NOISE_KINDS)],
+                         seconds, fs)[: len(s)]
+        name = f"val{i:03d}_{snr}dB.wav"
+        save_wav(os.path.join(d["val_clean_speech"], name), s, fs)
+        save_wav(os.path.join(d["val_noise"], name), dn, fs)
+
+    # test: clean reference + exact-SNR noisy mixture per condition
+    key = jax.random.PRNGKey(seed + 1)
+    for i in range(n_test):
+        s = synth_utterance(rng, seconds, fs)
+        kind = NOISE_KINDS[i % len(NOISE_KINDS)]
+        snr = int(test_snrs[(i // len(NOISE_KINDS)) % len(test_snrs)])
+        dn = synth_noise(rng, kind, seconds + 1.0, fs)
+        key, k2 = jax.random.split(key)
+        x, _ = add_noise(k2, jnp.asarray(s, jnp.float32) / 32768.0,
+                         jnp.asarray(dn, jnp.float32) / 32768.0,
+                         jnp.asarray(len(s), jnp.int32),
+                         jnp.asarray(len(dn), jnp.int32),
+                         jnp.asarray(float(snr)))
+        save_wav(os.path.join(d["test_clean_speech"], f"c{i:03d}.wav"), s, fs)
+        save_wav(os.path.join(d["test_noisy_speech"],
+                              f"c{i:03d}_{kind}_{snr}dB.wav"),
+                 (np.asarray(x)[: len(s)] * 32768.0).clip(-32768, 32767
+                                                          ).astype(np.int16), fs)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="set")
+    ap.add_argument("--n_train", type=int, default=300)
+    ap.add_argument("--n_test", type=int, default=24)
+    ap.add_argument("--seconds", type=float, default=4.0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    build(args.out, args.n_train, args.n_test, args.seconds, args.seed)
+    print(f"corpus written under {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
