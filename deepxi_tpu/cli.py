@@ -77,6 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
     # parallelism (TPU-native)
     p.add_argument("--n_data_shards", type=int, default=None)
     p.add_argument("--n_model_shards", type=int, default=None)
+    p.add_argument("--metric_workers", type=int, default=None,
+                   help="host metric processes in --test (0=auto, 1=serial)")
     p.add_argument("--platform", type=str, default=None,
                    help="Force a JAX platform (cpu/tpu); overrides any "
                         "site-level backend registration")

@@ -137,6 +137,8 @@ class Config:
     # parallelism (TPU-native; no reference equivalent)
     n_data_shards: Optional[int] = None
     n_model_shards: int = 1
+    # host-metric process pool in test(): 0 = one per CPU, 1 = serial
+    metric_workers: int = 0
 
     @property
     def N_d(self) -> int:

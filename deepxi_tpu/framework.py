@@ -577,19 +577,71 @@ class DeepXiTPU:
                 written.append(path)
         return written
 
+    _FAST_FAMILIES = ("MagXi", "MagXiGamma", "MagGain", "MagSMM", "MagMag")
+
+    def _fast_enhancer(self, g: str):
+        """Cached fused bucketed enhancer for gain-form families
+        (deepxi_tpu.enhance), with the Pallas fused TCN when configured."""
+        from deepxi_tpu.enhance import make_enhancer
+        cfg = self.cfg
+        cache = getattr(self, "_jit_cache", None) or {}
+        self._jit_cache = cache
+        if f"fast_enh_{g}" not in cache:
+            apply_fn = None
+            if (cfg.tcn_fused and cfg.network_type == "ResNetV2"
+                    and cfg.causal and cfg.unit_type == "ReLU->LN->W+b"):
+                from deepxi_tpu.ops.kernels.tcn_fused import \
+                    resnetv2_apply_fused
+                apply_fn = (lambda p, m: resnetv2_apply_fused(
+                    p, m, n_blocks=cfg.n_blocks,
+                    max_d_rate=cfg.max_d_rate, k=cfg.k,
+                    outp_act=cfg.outp_act))
+            cache[f"fast_enh_{g}"] = make_enhancer(
+                self.inp_tgt, self.network, g, apply_fn=apply_fn)
+        return cache[f"fast_enh_{g}"]
+
+    def _enhance_all(self, p, x_batch, x_lens, names, g,
+                     max_batch: int = 32) -> List[np.ndarray]:
+        """Enhanced waveform per utterance (each trimmed to its own
+        (n_frames+1)*N_s iSTFT length, the reference's overlap-tail
+        convention, ref: deepxi/model.py:311-313). Gain-form families run
+        the fused pipeline over length-bucketed batches; other families use
+        the per-utterance polar path."""
+        cfg = self.cfg
+        ys: List[Optional[np.ndarray]] = [None] * len(names)
+        if type(self.inp_tgt).__name__ in self._FAST_FAMILIES:
+            enhance = self._fast_enhancer(g)
+            buckets: Dict[int, List[int]] = {}
+            for i, ln in enumerate(x_lens):
+                buckets.setdefault(bucket_length(int(ln), cfg.N_s), []).append(i)
+            for L, idxs in sorted(buckets.items()):
+                for j0 in range(0, len(idxs), max_batch):
+                    chunk = idxs[j0:j0 + max_batch]
+                    w = np.zeros((len(chunk), L), np.int16)
+                    for r, i in enumerate(chunk):
+                        n = min(int(x_lens[i]), L)
+                        w[r, :n] = x_batch[i, :n]
+                    y = np.asarray(enhance(p, jnp.asarray(w)))
+                    for r, i in enumerate(chunk):
+                        n_out = (self.inp_tgt.n_frames(int(x_lens[i])) + 1) * cfg.N_s
+                        ys[i] = y[r, :n_out]
+        else:
+            apply_fn = self._jitted("apply", self.network.apply)
+            enh = self._jitted(f"enh_{g}",
+                               lambda i, s, t: self.inp_tgt.enhanced_speech(
+                                   i, s, t, g))
+            for i in range(len(names)):
+                inp, sup, n_frames = self._observe(x_batch[i], int(x_lens[i]))
+                tgt_hat = apply_fn(p, inp[None])[0]
+                ys[i] = np.asarray(enh(inp[:n_frames], sup[:n_frames],
+                                       tgt_hat[:n_frames]))
+        return ys
+
     def _infer_fast(self, params, x_batch, x_lens, names, gains, epochs,
                     max_batch: int = 32) -> List[str]:
-        """Bucketed-batch fused enhancement (deepxi_tpu.enhance): utterances
-        grouped by padded length, whole wav->wav pipeline in one jit per
-        bucket shape."""
-        from deepxi_tpu.enhance import make_enhancer
-
+        """Bucketed-batch fused enhancement: utterances grouped by padded
+        length, whole wav->wav pipeline in one jit per bucket shape."""
         cfg = self.cfg
-        # group utterance indices by bucket length
-        buckets: Dict[int, List[int]] = {}
-        for i, ln in enumerate(x_lens):
-            buckets.setdefault(bucket_length(int(ln), cfg.N_s), []).append(i)
-
         written: List[str] = []
         for e in epochs:
             if e < 1:
@@ -600,37 +652,11 @@ class DeepXiTPU:
                     else os.path.join("y", g)
                 out_dir = os.path.join(cfg.out_path, cfg.ver, f"e{e}", sub)
                 os.makedirs(out_dir, exist_ok=True)
-                cache = getattr(self, "_jit_cache", None) or {}
-                self._jit_cache = cache
-                if f"fast_enh_{g}" not in cache:
-                    apply_fn = None
-                    if (cfg.tcn_fused and cfg.network_type == "ResNetV2"
-                            and cfg.causal and cfg.unit_type == "ReLU->LN->W+b"):
-                        from deepxi_tpu.ops.kernels.tcn_fused import \
-                            resnetv2_apply_fused
-                        apply_fn = (lambda p, m: resnetv2_apply_fused(
-                            p, m, n_blocks=cfg.n_blocks,
-                            max_d_rate=cfg.max_d_rate, k=cfg.k,
-                            outp_act=cfg.outp_act))
-                    cache[f"fast_enh_{g}"] = make_enhancer(
-                        self.inp_tgt, self.network, g, apply_fn=apply_fn)
-                enhance = cache[f"fast_enh_{g}"]
-                for L, idxs in sorted(buckets.items()):
-                    for j0 in range(0, len(idxs), max_batch):
-                        chunk = idxs[j0:j0 + max_batch]
-                        w = np.zeros((len(chunk), L), np.int16)
-                        for r, i in enumerate(chunk):
-                            n = min(int(x_lens[i]), L)
-                            w[r, :n] = x_batch[i, :n]
-                        y = np.asarray(enhance(p, jnp.asarray(w)))
-                        for r, i in enumerate(chunk):
-                            # full-length iSTFT output for the utterance's
-                            # own frame count (reference keeps the overlap
-                            # tail, ref: deepxi/model.py:311-313)
-                            n_out = (self.inp_tgt.n_frames(int(x_lens[i])) + 1) * cfg.N_s
-                            path = os.path.join(out_dir, names[i] + ".wav")
-                            save_wav(path, y[r, :n_out], cfg.f_s)
-                            written.append(path)
+                ys = self._enhance_all(p, x_batch, x_lens, names, g, max_batch)
+                for i, name in enumerate(names):
+                    path = os.path.join(out_dir, name + ".wav")
+                    save_wav(path, ys[i], cfg.f_s)
+                    written.append(path)
         return written
 
     def _write_output(self, out_dir, name, out_type, g, inp, sup, tgt_hat,
@@ -702,10 +728,14 @@ class DeepXiTPU:
         suite the BASELINE parity targets are defined in -- CSIG/CBAK/COVL/
         SegSNR/SNR (ref: demand_voice_bank_objective_scoring/
         objective_scoring.m:45-48) -- and appends the scorer's results.txt
-        row format alongside the CSVs."""
-        from deepxi_tpu.metrics import composite
-        from deepxi_tpu.metrics import stoi as stoi_fn
-        from deepxi_tpu.metrics.pesq import pesq as pesq_fn
+        row format alongside the CSVs.
+
+        TPU-first deviations from the reference's serial loop: gain-form
+        families enhance in fused length-bucketed batches (the reference
+        predicts batch_size=1, ref: deepxi/model.py:1829), and the host
+        metric computation fans out over a process pool
+        (metrics.scoring.score_many; cfg.metric_workers)."""
+        from deepxi_tpu.metrics.scoring import score_many
 
         cfg = self.cfg
         gains = list(gains) if gains else (
@@ -716,46 +746,31 @@ class DeepXiTPU:
         x_batch, x_lens, _, x_names = test_batch(cfg.test_x_path)
         s_batch, s_lens, _, s_names = test_batch(cfg.test_s_path)
 
-        apply_fn = jax.jit(self.network.apply)
         all_results = {}
         for e in epochs:
             p = params if params is not None else self.load_epoch(e)
             for g in gains:
                 results: Dict[Tuple, List[float]] = {}
-                enh = self._jitted(f"enh_{g}",
-                                   lambda i, s, t: self.inp_tgt.enhanced_speech(
-                                       i, s, t, g))
+                ys = self._enhance_all(p, x_batch, x_lens, x_names, g)
+                pairs, conds = [], []
                 for i, name in enumerate(x_names):
-                    inp, sup, n_frames = self._observe(x_batch[i], int(x_lens[i]))
-                    tgt_hat = apply_fn(p, inp[None])[0]
-                    y = np.asarray(enh(inp[:n_frames], sup[:n_frames],
-                                       tgt_hat[:n_frames]))
-
                     ref_idx = next(j for j, b in enumerate(s_names) if b in name)
                     s = s_batch[ref_idx, :s_lens[ref_idx]].astype(np.float32) / 32768.0
-                    y = y[: len(s)]
-
+                    pairs.append((s, ys[i][: len(s)]))
                     # condition parsing "<clean>_<noise>_<snr>dB"
                     # (ref: deepxi/model.py:1849-1852)
                     try:
                         noise_src = name.split("_")[-2]
                     except IndexError:
                         noise_src = "Null"
-                    snr_level = 0 if noise_src == "Null" else int(name.split("_")[-1][:-2])
+                    snr_level = 0 if noise_src == "Null" \
+                        else int(name.split("_")[-1][:-2])
+                    conds.append((noise_src, snr_level))
 
-                    def add(metric, value):
-                        results.setdefault((noise_src, snr_level, metric), []).append(value)
-
-                    try:
-                        add("STOI", 100.0 * stoi_fn(s, y, cfg.f_s, extended=False))
-                        add("eSTOI", 100.0 * stoi_fn(s, y, cfg.f_s, extended=True))
-                    except ValueError as err:  # utterance too short for STOI
-                        print(f"STOI skipped for {name}: {err}")
-                    pesq_nb = pesq_fn(s, y, cfg.f_s, mode="nb")
-                    add("MOS-LQO", pesq_fn(s, y, cfg.f_s, mode="wb"))
-                    comp = composite(s, y, cfg.f_s, pesq_mos=pesq_nb)
-                    for m in ("PESQ", "CSIG", "CBAK", "COVL", "SegSNR", "SNR"):
-                        add(m, comp[m])
+                scores = score_many(pairs, cfg.f_s, n_workers=cfg.metric_workers)
+                for (noise_src, snr_level), sc in zip(conds, scores):
+                    for m, v in sc.items():
+                        results.setdefault((noise_src, snr_level, m), []).append(v)
 
                 self._write_results(results, e, g)
                 self._append_results_txt(results, e, g)
