@@ -1,16 +1,19 @@
 """Benchmark: real-time factor of the flagship enhancement pipeline on one
-TPU chip.
+TPU chip, plus secondary metrics (MHANet RTF full/blockwise, fused
+train-step throughput).
 
-Metric: seconds of audio enhanced per wall-clock second per chip (RTF), on
-the full fused pipeline of the reference's inference path
+Headline metric: seconds of audio enhanced per wall-clock second per chip
+(RTF) on the full fused pipeline of the reference's inference path
 (ref: deepxi/model.py:224-332): int16 wav -> normalise -> STFT -> ResNetV2
 (resnet-1.1c topology, 40 dilated blocks, 1.95M params) -> DBNormalCDF
-inverse -> MMSE-LSA gain -> iSTFT -> waveform, everything inside one jit.
+inverse -> MMSE-LSA gain -> iSTFT -> waveform, everything inside one jit,
+with the fused multi-block Pallas TCN kernel.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md); the
 north-star target is >100x real time per chip, so vs_baseline = RTF / 100.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+"extra" carries the secondary metrics (VERDICT round-1 item 6).
 """
 
 import json
@@ -21,64 +24,133 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+N_d, N_s, K, f_s = 512, 256, 512, 16000
 
-def main():
-    from deepxi_tpu import sig
-    from deepxi_tpu.inp_tgt import inp_tgt_selector
-    from deepxi_tpu.models import network_selector
 
-    N_d, N_s, K, f_s = 512, 256, 512, 16000
-    # Batch 32 saturates the chip (B=8: ~26k RTF, B=32: ~44k; bf16 compute
-    # measured no faster than f32 at these shapes and costs accuracy).
-    B, SECONDS = 32, 10.0
-    n_samples = int(f_s * SECONDS)
-    n_samples = (n_samples // N_s) * N_s  # static frame count
+def _readback(y):
+    """Force completion: block_until_ready is a no-op on the axon runtime;
+    a host read-back of the last result implies the in-order stream drained."""
+    return float(jnp.ravel(y)[0])
 
-    it = inp_tgt_selector("MagXi", N_d=N_d, N_s=N_s, K=K, f_s=f_s,
-                          map_type="DBNormalCDF", map_params=None)
-    sample = (np.abs(np.random.RandomState(0).randn(128, 257)) ** 2
-              ).astype(np.float32) * 10 + 1e-3
-    it = it.replace(xi_map=it.xi_map.with_stats(jnp.asarray(sample)))
 
-    net = network_selector("ResNetV2", 257, d_model=256, n_blocks=40, d_f=64,
-                           k=3, max_d_rate=16, causal=True,
-                           unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
-    rng = np.random.RandomState(0)
-    x_wav = (rng.randn(B, n_samples) * 3000).astype(np.int16)
-    params = net.init(jax.random.PRNGKey(0),
-                      jnp.zeros((B, n_samples // N_s, 257)))
-
-    from deepxi_tpu.enhance import make_enhancer
-    from deepxi_tpu.ops.kernels.tcn_fused import resnetv2_apply_fused
-
-    # Fused Pallas TCN (multi-block groups resident in VMEM): 4.7 ms/batch
-    # vs 6.8 ms with the XLA conv path at these shapes.
-    fused_apply = lambda p, m: resnetv2_apply_fused(p, m, n_blocks=40,
-                                                    max_d_rate=16)
-    enhance = make_enhancer(it, net, "mmse-lsa", apply_fn=fused_apply)
-
-    x_dev = jax.device_put(jnp.asarray(x_wav))
-    # warmup / compile; a host read-back forces real completion (on this
-    # TPU runtime block_until_ready returns before execution finishes)
-    float(enhance(params, x_dev)[0, 0])
-
-    n_rep = 20
+def _time_fn(fn, *args, n_rep=20):
+    _readback(fn(*args))  # compile + warmup
     t0 = time.perf_counter()
     y = None
     for _ in range(n_rep):
-        y = enhance(params, x_dev)
-    # device stream is in-order: reading the last result back implies all
-    # n_rep executions completed
-    float(y[0, 0])
-    dt = time.perf_counter() - t0
+        y = fn(*args)
+    _readback(y)
+    return (time.perf_counter() - t0) / n_rep
 
-    audio_seconds = B * (n_samples / f_s) * n_rep
-    rtf = audio_seconds / dt
+
+def _mag_xi(sample_seed=0):
+    from deepxi_tpu.inp_tgt import inp_tgt_selector
+    it = inp_tgt_selector("MagXi", N_d=N_d, N_s=N_s, K=K, f_s=f_s,
+                          map_type="DBNormalCDF", map_params=None)
+    sample = (np.abs(np.random.RandomState(sample_seed).randn(128, 257)) ** 2
+              ).astype(np.float32) * 10 + 1e-3
+    return it.replace(xi_map=it.xi_map.with_stats(jnp.asarray(sample)))
+
+
+def bench_resnet_rtf(B=32, seconds=10.0):
+    """Headline: fused resnet-1.1c enhancement RTF (batch saturates ~32)."""
+    from deepxi_tpu.enhance import make_enhancer
+    from deepxi_tpu.models import network_selector
+    from deepxi_tpu.ops.kernels.tcn_fused import resnetv2_apply_fused
+
+    n = int(f_s * seconds) // N_s * N_s
+    it = _mag_xi()
+    net = network_selector("ResNetV2", 257, d_model=256, n_blocks=40, d_f=64,
+                           k=3, max_d_rate=16, causal=True,
+                           unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((B, n // N_s, 257)))
+    fused = lambda p, m: resnetv2_apply_fused(p, m, n_blocks=40, max_d_rate=16)
+    enhance = make_enhancer(it, net, "mmse-lsa", apply_fn=fused)
+    x = jax.device_put(jnp.asarray(
+        (np.random.RandomState(0).randn(B, n) * 3000).astype(np.int16)))
+    dt = _time_fn(enhance, params, x)
+    return B * (n / f_s) / dt
+
+
+def bench_mhanet_rtf(impl, B=8, seconds=10.0):
+    """mhanet-1.1c (4.6M params, 5 blocks, 8 heads) enhancement RTF with
+    full [B,H,T,T] or blockwise attention."""
+    from deepxi_tpu.enhance import make_enhancer
+    from deepxi_tpu.models import network_selector
+
+    n = int(f_s * seconds) // N_s * N_s
+    it = _mag_xi(1)
+    net = network_selector("MHANetV3", 257, d_model=256, n_blocks=5,
+                           n_heads=8, causal=True, outp_act="Sigmoid",
+                           max_len=2048, attention_impl=impl, block_q=256)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 257)))
+    enhance = make_enhancer(it, net, "mmse-lsa")
+    x = jax.device_put(jnp.asarray(
+        (np.random.RandomState(1).randn(B, n) * 3000).astype(np.int16)))
+    dt = _time_fn(enhance, params, x, n_rep=10)
+    return B * (n / f_s) / dt
+
+
+def bench_train_step(B=8, seconds=4.096):
+    """Fused train-step throughput (mix+STFT+targets+fwd+bwd+Adam in one
+    jit) on the flagship topology: steps/s and audio-seconds/s."""
+    from deepxi_tpu.models import network_selector
+    from deepxi_tpu.training import TrainState, make_optimizer, make_train_step
+
+    n = int(f_s * seconds) // N_s * N_s
+    it = _mag_xi(2)
+    net = network_selector("ResNetV2", 257, d_model=256, n_blocks=40, d_f=64,
+                           k=3, max_d_rate=16, causal=True,
+                           unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
+    tx = make_optimizer("ResNetV2")
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((B, n // N_s, 257)))
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(net, it, tx))
+    rng = np.random.RandomState(2)
+    s = jax.device_put(jnp.asarray((rng.randn(B, n) * 3000).astype(np.int16)))
+    d = jax.device_put(jnp.asarray((rng.randn(B, 2 * n) * 2000).astype(np.int16)))
+    s_len = jnp.full((B,), n, jnp.int32)
+    d_len = jnp.full((B,), 2 * n, jnp.int32)
+    snr = jnp.zeros((B,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    def one(state_key):
+        st, k = state_key
+        k, k2 = jax.random.split(k)
+        st, m = step(st, k2, s, d, s_len, d_len, snr)
+        return st, k
+
+    state, key = one((state, key))  # compile
+    _readback(state.params["params"]["out_conv"]["bias"])
+    n_rep = 50
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        state, key = one((state, key))
+    _readback(state.params["params"]["out_conv"]["bias"])
+    dt = (time.perf_counter() - t0) / n_rep
+    return 1.0 / dt, B * (n / f_s) / dt
+
+
+def main():
+    rtf = bench_resnet_rtf()
+    extra = {}
+    try:
+        extra["mhanet-1.1c_rtf_full"] = round(bench_mhanet_rtf("full"), 2)
+        extra["mhanet-1.1c_rtf_block"] = round(bench_mhanet_rtf("block"), 2)
+    except Exception as e:  # pragma: no cover - report partial results
+        extra["mhanet_error"] = str(e)[:200]
+    try:
+        steps_s, audio_s = bench_train_step()
+        extra["train_steps_per_sec"] = round(steps_s, 2)
+        extra["train_audio_sec_per_sec"] = round(audio_s, 2)
+    except Exception as e:  # pragma: no cover
+        extra["train_error"] = str(e)[:200]
     print(json.dumps({
         "metric": "enhancement_rtf_resnet-1.1c",
         "value": round(rtf, 2),
         "unit": "audio_sec/wall_sec/chip",
         "vs_baseline": round(rtf / 100.0, 3),
+        "extra": extra,
     }))
 
 

@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_epochs", type=int, default=None)
     p.add_argument("--resume_epoch", type=int, default=None)
     p.add_argument("--save_model", type=str_to_bool, default=None)
+    p.add_argument("--save_every", type=int, default=None)
+    p.add_argument("--val_every", type=int, default=None)
     p.add_argument("--log_iter", type=str_to_bool, default=None)
     p.add_argument("--eval_example", type=str_to_bool, default=None)
     p.add_argument("--val_flag", type=str_to_bool, default=None)

@@ -73,6 +73,8 @@ class Config:
     resume_epoch: int = 0
     test_epoch: Union[int, List[int]] = 200
     save_model: bool = True
+    save_every: int = 1   # checkpoint every N epochs (always at the last)
+    val_every: int = 1    # evaluate the validation set every N epochs
     log_iter: bool = False
     eval_example: bool = False
     val_flag: bool = True

@@ -242,10 +242,13 @@ class DeepXiTPU:
                 state, metrics = train_step(*args)
                 step_losses.append(metrics["loss"])
                 n_steps += 1
-            mean_loss = float(np.mean([float(l) for l in step_losses])) \
+            # one device->host read for the whole epoch's losses (a float()
+            # per step costs a ~40 ms tunnel round-trip each on this runtime)
+            mean_loss = float(jnp.mean(jnp.stack(step_losses))) \
                 if step_losses else 0.0
             val_loss = None
-            if val_set:
+            if val_set and ((epoch + 1) % max(cfg.val_every, 1) == 0
+                            or epoch == cfg.max_epochs - 1):
                 vl, vn = 0.0, 0
                 for inp, tgt, mask in val_set:
                     vl += float(eval_step(state.params, inp, tgt, mask))
@@ -253,7 +256,8 @@ class DeepXiTPU:
                 val_loss = vl / max(vn, 1)
             losses.append(mean_loss)
             append_loss_csv(cfg.log_path, cfg.ver, epoch, mean_loss, val_loss)
-            if cfg.save_model:
+            if cfg.save_model and ((epoch + 1) % max(cfg.save_every, 1) == 0
+                                   or epoch == cfg.max_epochs - 1):
                 save_checkpoint(model_dir, epoch, state)
             if verbose:
                 msg = f"epoch {epoch}: loss {mean_loss:.4f}"

@@ -4,15 +4,40 @@ The CI/agent image pre-imports jax at interpreter start (axon sitecustomize),
 so env vars alone are too late: jax.config must be updated directly, and
 XLA_FLAGS before the (lazy) backend initialisation. SURVEY.md section 4:
 multi-device tests use --xla_force_host_platform_device_count fake meshes.
+
+Set DEEPXI_TPU_TESTS=1 to keep the real TPU backend instead: CPU-mesh tests
+auto-skip and the tests marked `tpu` run on hardware (serialise with any
+other TPU process -- the axon runtime grants one process at a time).
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+_ON_TPU = os.environ.get("DEEPXI_TPU_TESTS") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+import pytest
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "tpu" in item.keywords and not _ON_TPU:
+            item.add_marker(pytest.mark.skip(
+                reason="TPU-gated (set DEEPXI_TPU_TESTS=1 on hardware)"))
+        elif "tpu" not in item.keywords and _ON_TPU:
+            item.add_marker(pytest.mark.skip(
+                reason="CPU-mesh test (unset DEEPXI_TPU_TESTS)"))
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers",
+                            "tpu: runs on the real TPU chip only")

@@ -128,3 +128,33 @@ class TestMHANetMesh:
                         jnp.full(4, 4096, jnp.int32), jnp.full(4, 8192, jnp.int32),
                         jnp.zeros(4))
         assert np.isfinite(float(m["loss"]))
+
+
+class TestDistributedInit:
+    """init_distributed error policy (round-1 weak item): explicit
+    multi-host arguments must make failures fatal; only auto-detection may
+    fall back to single-process."""
+
+    def test_explicit_args_propagate_failure(self, monkeypatch):
+        from deepxi_tpu.parallel import distributed
+
+        def boom(**kw):
+            raise RuntimeError("coordinator unreachable")
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        with pytest.raises(RuntimeError, match="coordinator"):
+            distributed.init_distributed(
+                coordinator_address="10.0.0.1:1234", num_processes=4,
+                process_id=0)
+
+    def test_auto_detect_falls_back_quietly(self, monkeypatch, caplog):
+        import logging
+
+        from deepxi_tpu.parallel import distributed
+
+        def boom():
+            raise RuntimeError("no cluster env")
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        with caplog.at_level(logging.INFO,
+                             logger="deepxi_tpu.parallel.distributed"):
+            distributed.init_distributed()  # must not raise
+        assert any("single-process" in r.message for r in caplog.records)

@@ -1,0 +1,126 @@
+"""Hardware-gated tests (run with DEEPXI_TPU_TESTS=1 on the real chip;
+serialise with any other TPU process).
+
+Round-1 advisor finding: the fused Pallas TCN ships enabled for the
+flagship preset with bf16 in-kernel matmuls, but CPU tests exercise it only
+in interpret mode (f32) -- the shipped numerics were never tested. This
+suite trains the full-size flagship net briefly on-device (bf16 deviation
+is only meaningful on trained weights; random weights diverge wildly, a
+measured round-1 fact) and asserts the fused path is quality-neutral in
+PESQ/STOI terms against the f32 XLA path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def trained_flagship():
+    """resnet-1.1c-sized net trained a few hundred steps on synthetic
+    speech -- enough for LN statistics and conv weights to leave the random
+    regime that amplifies bf16 op-order noise."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import synth_corpus
+
+    from deepxi_tpu.inp_tgt import inp_tgt_selector
+    from deepxi_tpu.models import network_selector
+    from deepxi_tpu.training import TrainState, make_optimizer, make_train_step
+
+    rng = np.random.RandomState(0)
+    it = inp_tgt_selector("MagXi", N_d=512, N_s=256, K=512, f_s=16000,
+                          map_type="DBNormalCDF", map_params=None)
+    # stats from a quick synthetic sample
+    s_w = np.stack([synth_corpus.synth_utterance(rng, 2.0) for _ in range(12)])
+    d_w = np.stack([synth_corpus.synth_noise(rng, "pink", 2.0) for _ in range(12)])
+    wl = np.full(12, s_w.shape[1], np.int32)
+    it = it.with_stats(s_w.astype(np.float32) / 32768.0,
+                       d_w.astype(np.float32) / 32768.0,
+                       (s_w.astype(np.float32) + d_w.astype(np.float32)) / 32768.0,
+                       wl)
+    net = network_selector("ResNetV2", 257, d_model=256, n_blocks=40, d_f=64,
+                           k=3, max_d_rate=16, causal=True,
+                           unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
+    tx = make_optimizer("ResNetV2")
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((4, 32, 257)))
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(net, it, tx), donate_argnums=(0,))
+    B, L = 4, 32000
+    key = jax.random.PRNGKey(1)
+    s = np.stack([synth_corpus.synth_utterance(rng, 2.0) for _ in range(B)])
+    d = np.stack([synth_corpus.synth_noise(rng, "pink", 4.0) for _ in range(B)])
+    losses = []
+    for i in range(200):
+        key, k = jax.random.split(key)
+        state, m = step(state, k, jnp.asarray(s), jnp.asarray(d),
+                        jnp.asarray([s.shape[1]] * B, jnp.int32),
+                        jnp.asarray([d.shape[1]] * B, jnp.int32),
+                        jnp.asarray(rng.choice([0., 5., 10.], B).astype(np.float32)))
+        if i % 50 == 0:
+            losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    return it, net, state.params, rng
+
+
+class TestFusedTCNOnHardware:
+    def test_bf16_fused_quality_neutral(self, trained_flagship):
+        """The shipped default (tcn_fused=True for resnet-1.1c) must be
+        quality-neutral: PESQ delta < 0.05 MOS, STOI delta < 0.3 pp vs the
+        f32 XLA conv path on the same trained weights."""
+        import synth_corpus
+
+        from deepxi_tpu.enhance import make_enhancer
+        from deepxi_tpu.metrics import stoi
+        from deepxi_tpu.metrics.pesq import pesq
+        from deepxi_tpu.ops.kernels.tcn_fused import resnetv2_apply_fused
+
+        it, net, params, rng = trained_flagship
+        enhance_xla = make_enhancer(it, net, "mmse-lsa")
+        fused = lambda p, m: resnetv2_apply_fused(p, m, n_blocks=40, max_d_rate=16)
+        enhance_fused = make_enhancer(it, net, "mmse-lsa", apply_fn=fused)
+
+        deltas_p, deltas_s = [], []
+        for seed in range(3):
+            r2 = np.random.RandomState(100 + seed)
+            s = synth_corpus.synth_utterance(r2, 4.0)
+            d = synth_corpus.synth_noise(r2, ("white", "pink", "babble")[seed], 5.0)
+            x = (s.astype(np.float32) + d[: len(s)].astype(np.float32) * 0.5
+                 ).clip(-32768, 32767).astype(np.int16)
+            L = 65536
+            w = np.zeros((1, L), np.int16)
+            w[0, : len(x)] = x
+            y_x = np.asarray(enhance_xla(params, jnp.asarray(w)))[0][: len(s)]
+            y_f = np.asarray(enhance_fused(params, jnp.asarray(w)))[0][: len(s)]
+            ref = s.astype(np.float64) / 32768.0
+            deltas_p.append(abs(pesq(ref, y_x, 16000) - pesq(ref, y_f, 16000)))
+            deltas_s.append(abs(100 * stoi(ref, y_x, 16000)
+                                - 100 * stoi(ref, y_f, 16000)))
+        assert max(deltas_p) < 0.05, deltas_p
+        assert max(deltas_s) < 0.3, deltas_s
+
+    def test_fused_waveform_deviation_bounded(self, trained_flagship):
+        """Raw waveform deviation of the bf16 fused path stays small on
+        trained weights (round-1 measured ~2e-2 sigmoid-output deviation)."""
+        import synth_corpus
+
+        from deepxi_tpu.enhance import make_enhancer
+        from deepxi_tpu.ops.kernels.tcn_fused import resnetv2_apply_fused
+
+        it, net, params, rng = trained_flagship
+        r2 = np.random.RandomState(200)
+        x = synth_corpus.synth_utterance(r2, 4.0)
+        w = np.zeros((1, 65536), np.int16)
+        w[0, : len(x)] = x
+        y_x = np.asarray(make_enhancer(it, net, "mmse-lsa")(params, jnp.asarray(w)))
+        fused = lambda p, m: resnetv2_apply_fused(p, m, n_blocks=40, max_d_rate=16)
+        y_f = np.asarray(make_enhancer(it, net, "mmse-lsa", apply_fn=fused)(
+            params, jnp.asarray(w)))
+        rms = float(np.sqrt(np.mean(y_x ** 2)))
+        dev = float(np.sqrt(np.mean((y_x - y_f) ** 2)))
+        assert dev < 0.1 * max(rms, 1e-6), (dev, rms)

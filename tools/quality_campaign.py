@@ -57,6 +57,7 @@ def main(argv=None) -> int:
     ap.add_argument("--gain", default="mmse-lsa")
     ap.add_argument("--skip_corpus", action="store_true")
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--resume_epoch", type=int, default=0)
     ap.add_argument("--copy_results_to", default=None,
                     help="directory to copy result CSVs + table into")
     args = ap.parse_args(argv)
@@ -74,7 +75,9 @@ def main(argv=None) -> int:
     from deepxi_tpu.framework import DeepXiTPU
 
     cfg = preset(args.ver, max_epochs=args.epochs, test_epoch=args.epochs,
-                 gain=args.gain, train=True, val_flag=True)
+                 gain=args.gain, train=True, val_flag=True,
+                 save_every=25, val_every=5,
+                 resume_epoch=args.resume_epoch)
     s_list = batch_list(os.path.join(cfg.set_path, "train_clean_speech"),
                         "clean_speech", cfg.data_path)
     d_list = batch_list(os.path.join(cfg.set_path, "train_noise"),
