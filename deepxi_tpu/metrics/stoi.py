@@ -9,7 +9,12 @@ The reference evaluates with the `pystoi` package inside DeepXi.test
 (ref: deepxi/model.py:1854-1857); this environment has no pystoi, so the
 measure is implemented natively with the canonical constants (10 kHz, 256/512
 frames, 15 third-octave bands from 150 Hz, 40 dB silence range, N=30 segment
-length, -15 dB clipping).
+length, -15 dB clipping). Every framing/band/silence-removal convention is
+transcribed from the reference's MATLAB scorer
+(ref: demand_voice_bank_objective_scoring/stoi.m:30-190): MATLAB
+hanning(256) window, 1:hop:(L-N) frame starts (final exactly-fitting frame
+dropped), snapped third-octave edges, un-normalised windowed overlap-add
+silence reconstruction, per-band taa_corr.
 """
 
 from __future__ import annotations
@@ -45,14 +50,17 @@ def _third_octave_matrix() -> np.ndarray:
 
 
 def _frames(x: np.ndarray, win: np.ndarray, hop: int) -> np.ndarray:
-    n = 1 + max(0, (len(x) - len(win)) // hop)
+    # frame starts 1:hop:(L-N) like the MATLAB scorer (stoi.m:151): the
+    # final exactly-fitting window is dropped
+    n = 1 + max(0, (len(x) - len(win) - 1) // hop)
     idx = np.arange(n)[:, None] * hop + np.arange(len(win))[None, :]
     return x[idx] * win
 
 
 def _remove_silent_frames(x: np.ndarray, y: np.ndarray) -> tuple:
     """Drop frames whose clean energy is >40 dB below the loudest frame,
-    reconstructing both signals by overlap-add."""
+    reconstructing both signals by windowed overlap-add with no weight
+    normalisation, exactly like the MATLAB scorer (stoi.m:141-177)."""
     win = np.hanning(N_FRAME + 2)[1:-1]
     hop = N_FRAME // 2
     xf = _frames(x, win, hop)
@@ -63,12 +71,10 @@ def _remove_silent_frames(x: np.ndarray, y: np.ndarray) -> tuple:
     n_out = (len(xf) - 1) * hop + N_FRAME if len(xf) else 0
     xs = np.zeros(n_out)
     ys = np.zeros(n_out)
-    ws = np.zeros(n_out)
     for i in range(len(xf)):
         sl = slice(i * hop, i * hop + N_FRAME)
         xs[sl] += xf[i]
         ys[sl] += yf[i]
-        ws[sl] += win
     return xs, ys
 
 
