@@ -52,8 +52,10 @@ def _mag_xi(sample_seed=0):
     return it.replace(xi_map=it.xi_map.with_stats(jnp.asarray(sample)))
 
 
-def bench_resnet_rtf(B=32, seconds=10.0):
-    """Headline: fused resnet-1.1c enhancement RTF (batch saturates ~32)."""
+def bench_resnet_rtf(B=96, seconds=10.0):
+    """Headline: fused resnet-1.1c enhancement RTF. Batch sweep on v5e:
+    32 -> 65.6k, 64 -> 72.8k, 96 -> 79.1k, 112 -> 79.4k, 128 -> 77.4k
+    (10 s utterances); B=96 sits at the HBM-bound knee."""
     from deepxi_tpu.enhance import make_enhancer
     from deepxi_tpu.models import network_selector
     from deepxi_tpu.ops.kernels.tcn_fused import resnetv2_apply_fused
