@@ -21,6 +21,7 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
+from deepxi_tpu import native
 from deepxi_tpu.data.wavio import read_wav
 
 
@@ -64,18 +65,21 @@ class MiniBatchLoader:
         B = len(s_items)
         max_len = max(it["wav_len"] for it in s_items)
         L = bucket_length(max_len, self.N_s, self.frames_per_bucket)
-        s = np.zeros((B, L), np.int16)
-        d = np.zeros((B, L), np.int16)
+        s = np.empty((B, L), np.int16)  # every row is fully written by
+        d = np.empty((B, L), np.int16)  # _decode_rows (data + zero tail)
         s_len = np.zeros(B, np.int32)
         d_len = np.zeros(B, np.int32)
         # per-frame phoneme labels ride along when requested and the list
         # carries them (batch_list_labelled items; MagPhonemes training)
         labelled = self.with_labels and all("labels" in it for it in s_items)
         labels = np.zeros((B, L // self.N_s), np.int32) if labelled else None
+        # Plan the whole batch from list metadata (wav lengths are cached by
+        # data.listing) so decoding can happen in one native thread-pooled
+        # call; the RNG draw order matches the former per-item loop exactly,
+        # keeping epochs bit-reproducible across the native/Python paths.
+        d_paths, d_offs = [], []
         for i, item in enumerate(s_items):
-            wav, _ = read_wav(item["file_path"])
-            n = min(len(wav), L)
-            s[i, :n] = wav[:n]
+            n = min(item["wav_len"], L)
             s_len[i] = n
             # draw a noise file at least as long as the speech, uniformly
             # over the eligible subset (ref: deepxi/model.py:2280-2283 -- the
@@ -88,21 +92,39 @@ class MiniBatchLoader:
                     f"no noise file is >= {n} samples (longest available: "
                     f"{longest}); speech {item['file_path']!r} cannot be mixed")
             d_item = eligible[self.rng.integers(len(eligible))]
-            d_wav, _ = read_wav(d_item["file_path"])
             # random crop to the padded length so the device-side random
             # offset (sig.add_noise) stays within a static buffer
-            if len(d_wav) > L:
-                off = self.rng.integers(0, len(d_wav) - L + 1)
-                d_wav = d_wav[off:off + L]
-            d[i, :len(d_wav)] = d_wav
-            d_len[i] = min(len(d_wav), L)
+            dn = d_item["wav_len"]
+            off = int(self.rng.integers(0, dn - L + 1)) if dn > L else 0
+            d_paths.append(d_item["file_path"])
+            d_offs.append(off)
+            d_len[i] = min(dn, L)
             if labelled:
                 lab = item["labels"][: labels.shape[1]]
                 labels[i, :len(lab)] = lab
+        self._decode_rows([it["file_path"] for it in s_items], [0] * B, L, s)
+        self._decode_rows(d_paths, d_offs, L, d)
         snr = self.rng.choice(self.snr_levels, B).astype(np.float32)
         if labelled:
             return s, d, s_len, d_len, snr, labels
         return s, d, s_len, d_len, snr
+
+    @staticmethod
+    def _decode_rows(paths: List[str], offsets: List[int], L: int,
+                     out: np.ndarray) -> None:
+        """Fill out[i, :] with paths[i] decoded from offsets[i], zero-padded
+        to L. Native (C++ thread pool) when available; per-row Python
+        fallback for formats the native decoder rejects (e.g. non-16k)."""
+        res = native.load_batch(paths, L, offsets=offsets, out=out)
+        if res is None:
+            fall = range(len(paths))
+        else:
+            fall = [i for i, st in enumerate(res[2]) if st != 0]
+        for i in fall:
+            wav, _ = read_wav(paths[i])
+            seg = wav[offsets[i]:offsets[i] + L]
+            out[i, :len(seg)] = seg
+            out[i, len(seg):] = 0
 
     def epoch(self, epoch_idx: int) -> Iterator[Tuple[np.ndarray, ...]]:
         """One epoch of mini-batches, prefetched on a background thread.
