@@ -53,9 +53,14 @@ def _mag_xi(sample_seed=0):
 
 
 def bench_resnet_rtf(B=96, seconds=10.0):
-    """Headline: fused resnet-1.1c enhancement RTF. Batch sweep on v5e:
-    32 -> 65.6k, 64 -> 72.8k, 96 -> 79.1k, 112 -> 79.4k, 128 -> 77.4k
-    (10 s utterances); B=96 sits at the HBM-bound knee."""
+    """Headline: fused resnet-1.1c enhancement RTF, at the flagship preset's
+    shipped numerics (fused Pallas TCN + dft_precision='default', both
+    measured quality-neutral on trained weights -- tests/test_tpu_hw.py).
+    Batch sweep on v5e at 'highest' DFT precision (10 s utterances):
+    32 -> 65.6k, 64 -> 72.8k, 96 -> 79.1k, 112 -> 79.4k, 128 -> 77.4k;
+    B=96 sits at the HBM-bound knee. 'default' DFT precision adds ~1.2x on
+    top (the analysis/synthesis matmuls drop from 6-pass f32 emulation to
+    one bf16 pass)."""
     from deepxi_tpu.enhance import make_enhancer
     from deepxi_tpu.models import network_selector
     from deepxi_tpu.ops.kernels.tcn_fused import resnetv2_apply_fused
@@ -67,7 +72,8 @@ def bench_resnet_rtf(B=96, seconds=10.0):
                            unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((B, n // N_s, 257)))
     fused = lambda p, m: resnetv2_apply_fused(p, m, n_blocks=40, max_d_rate=16)
-    enhance = make_enhancer(it, net, "mmse-lsa", apply_fn=fused)
+    enhance = make_enhancer(it, net, "mmse-lsa", apply_fn=fused,
+                            precision="default")
     x = jax.device_put(jnp.asarray(
         (np.random.RandomState(0).randn(B, n) * 3000).astype(np.int16)))
     dt = _time_fn(enhance, params, x)

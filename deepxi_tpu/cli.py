@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block_q", type=int, default=None)
     p.add_argument("--tcn_fused", type=str_to_bool, default=None,
                    help="Fused Pallas TCN kernel in the infer fast path")
+    p.add_argument("--dft_precision", type=str, default=None,
+                   choices=["highest", "high", "default"],
+                   help="MXU precision of the fused-path DFT matmuls "
+                        "('default' = bf16 multiplies, quality-neutral on "
+                        "trained weights)")
     p.add_argument("--import_stats", type=str, default=None,
                    help="Adopt map statistics from a reference "
                         "<ver>_inp_tgt.p pickle (parity runs)")

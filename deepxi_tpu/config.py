@@ -105,6 +105,13 @@ class Config:
     attention_impl: str = "full"  # "block": O(T*block_q) long-audio attention
     block_q: int = 256
     tcn_fused: bool = False  # fused Pallas TCN in the infer fast path (1.7x)
+    # MXU precision of the analysis/synthesis DFT matmuls in the fused
+    # inference path ("highest" = f32-exact, "default" = one-pass bf16
+    # multiplies, ~1.2x end-to-end; quality-neutral on trained weights:
+    # |PESQ delta| <= 0.002 MOS, |STOI delta| <= 0.2 pp -- hardware-gated
+    # regression in tests/test_tpu_hw.py). Training and the polar
+    # (non-fused) paths always use the exact FFT.
+    dft_precision: str = "highest"
     import_stats: Optional[str] = None  # reference <ver>_inp_tgt.p to adopt
 
     # map
@@ -192,7 +199,7 @@ VERSION_PRESETS: Dict[str, Dict[str, Any]] = {
     "resnet-1.1c": dict(network_type="ResNetV2", d_model=256, n_blocks=40,
                         d_f=64, k=3, max_d_rate=16, causal=True,
                         unit_type="ReLU->LN->W+b", test_epoch=200,
-                        tcn_fused=True, **_COMMON),
+                        tcn_fused=True, dft_precision="default", **_COMMON),
     "resnet-1.1n": dict(network_type="ResNetV2", d_model=256, n_blocks=40,
                         d_f=64, k=3, max_d_rate=16, causal=False,
                         unit_type="ReLU->LN->W+b", test_epoch=180, **_COMMON),

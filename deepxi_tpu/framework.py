@@ -601,7 +601,8 @@ class DeepXiTPU:
                     max_d_rate=cfg.max_d_rate, k=cfg.k,
                     outp_act=cfg.outp_act))
             cache[f"fast_enh_{g}"] = make_enhancer(
-                self.inp_tgt, self.network, g, apply_fn=apply_fn)
+                self.inp_tgt, self.network, g, apply_fn=apply_fn,
+                precision=cfg.dft_precision)
         return cache[f"fast_enh_{g}"]
 
     def _enhance_all(self, p, x_batch, x_lens, names, g,

