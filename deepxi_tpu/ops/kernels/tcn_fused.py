@@ -54,6 +54,82 @@ def _dot(a, b):
                    precision=_PRECISION)
 
 
+def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
+                            dilations: Sequence[int], k: int = 3,
+                            interpret: bool | None = None) -> jnp.ndarray:
+    """Apply a group of causal ReLU->LN->W+b bottleneck blocks in one Pallas
+    kernel with the WHOLE sequence resident in VMEM (no time tiling).
+
+    When T fits on-chip this beats the halo-tiled kernel ~1.2x: the halo
+    rows are pure zero-padding for a whole sequence, so instead of carrying
+    a shrinking window (and computing on dead pre-sequence rows) each
+    dilated conv zero-pads its own input by its reach -- exactly the flax
+    model's causal padding -- and every block runs at constant width T.
+    Output is bit-identical to `fused_block_group` (tests/test_tcn_fused.py).
+
+    Args/returns as `fused_block_group`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    B, T, C = x.shape
+    G = len(weights)
+    Tpad = -(-T // 8) * 8  # sublane alignment
+    if Tpad != T:
+        x = jnp.pad(x, ((0, 0), (0, Tpad - T), (0, 0)))
+
+    def kernel(x_ref, *refs):
+        w_refs, o_ref = refs[:-1], refs[-1]
+        h = x_ref[0]
+        W = h.shape[0]
+        for g in range(G):
+            d = dilations[g]
+            w1, b1, w2, b2, w3, b3 = w_refs[6 * g: 6 * g + 6]
+            reach = (k - 1) * d
+            a = _ln(jax.nn.relu(h))
+            u1 = _dot(a, w1[...][0]) + b1[...][0]
+            a2 = _ln(jax.nn.relu(u1))
+            # causal dilated conv via per-tap shifted slices of the
+            # zero-padded input: out[t] = sum_j a2[t-(k-1-j)d] @ W[j]
+            a2p = jnp.pad(a2, ((reach, 0), (0, 0)))
+            y = _dot(a2p[(k - 1) * d:(k - 1) * d + W], w2[...][k - 1])
+            for j in range(k - 1):
+                y = y + _dot(a2p[j * d: j * d + W], w2[...][j])
+            y = y + b2[...][0]
+            a3 = _ln(jax.nn.relu(y))
+            h = h + _dot(a3, w3[...][0]) + b3[...][0]
+        o_ref[0] = h
+
+    w_specs = []
+    w_args = []
+    for bw in weights:
+        for arr in bw:
+            if arr.ndim == 1:
+                arr = arr[None, :]
+            w_specs.append(pl.BlockSpec(
+                arr.shape, lambda b, n=arr.ndim: (0,) * n,
+                memory_space=pltpu.VMEM))
+            w_args.append(arr)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Tpad, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((1, Tpad, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Tpad, C), jnp.float32),
+        interpret=interpret,
+    )(x, *w_args)
+    return out[:, :T]
+
+
 def fused_block_group(x: jnp.ndarray, weights: Sequence[BlockWeights],
                       dilations: Sequence[int], k: int = 3,
                       tile_t: int = 256, interpret: bool | None = None
@@ -156,12 +232,18 @@ def fused_block_group(x: jnp.ndarray, weights: Sequence[BlockWeights],
 def resnetv2_apply_fused(params, x: jnp.ndarray, n_blocks: int = 40,
                          max_d_rate: int = 16, k: int = 3,
                          group: int = 20, tile_t: int = 640,
+                         whole_max_t: int = 1024,
                          outp_act: str = "Sigmoid") -> jnp.ndarray:
     """ResNetV2 forward (causal, ReLU->LN->W+b, Sigmoid) with the block
     stack running through fused Pallas group kernels. Drop-in equivalent of
     `ResNetV2.apply` for the flagship configuration.
+
+    Sequences up to ``whole_max_t`` frames (~16 s audio at the flagship
+    framing) run the whole-sequence VMEM kernel (no time tiling, ~1.2x);
+    longer ones use the halo-tiled kernel.
     """
     p = params["params"]
+    whole = x.shape[1] <= whole_max_t
 
     h = _dot(x, p["ff_conv"]["kernel"][0]) + p["ff_conv"]["bias"]
     mu = jnp.mean(h, axis=-1, keepdims=True)
@@ -177,8 +259,11 @@ def resnetv2_apply_fused(params, x: jnp.ndarray, n_blocks: int = 40,
             w2=p[f"block{i}_u2_conv"]["kernel"], b2=p[f"block{i}_u2_conv"]["bias"],
             w3=p[f"block{i}_u3_conv"]["kernel"], b3=p[f"block{i}_u3_conv"]["bias"],
         ) for i in idx]
-        h = fused_block_group(h, weights, [dil[i] for i in idx], k=k,
-                              tile_t=tile_t)
+        if whole:
+            h = fused_block_group_whole(h, weights, [dil[i] for i in idx], k=k)
+        else:
+            h = fused_block_group(h, weights, [dil[i] for i in idx], k=k,
+                                  tile_t=tile_t)
 
     out = _dot(h, p["out_conv"]["kernel"][0]) + p["out_conv"]["bias"]
     from deepxi_tpu.models.tcn import output_activation

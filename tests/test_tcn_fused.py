@@ -27,19 +27,44 @@ def setup():
     return net, params, x, y_ref
 
 
+# whole_max_t=0 forces the halo-tiled kernel; the default routes short
+# sequences through the whole-sequence kernel -- both must match flax.
 @pytest.mark.parametrize("group,tile", [(5, 64), (5, 128), (10, 64), (2, 32)])
-def test_matches_flax(setup, group, tile):
+def test_matches_flax_halo(setup, group, tile):
     net, params, x, y_ref = setup
     y = np.asarray(resnetv2_apply_fused(params, x, n_blocks=10, max_d_rate=4,
-                                        group=group, tile_t=tile))
+                                        group=group, tile_t=tile,
+                                        whole_max_t=0))
     np.testing.assert_allclose(y, y_ref, atol=5e-4)
 
 
-def test_causality_preserved(setup):
+@pytest.mark.parametrize("group", [2, 5, 10])
+def test_matches_flax_whole(setup, group):
+    net, params, x, y_ref = setup
+    y = np.asarray(resnetv2_apply_fused(params, x, n_blocks=10, max_d_rate=4,
+                                        group=group))
+    np.testing.assert_allclose(y, y_ref, atol=5e-4)
+
+
+def test_whole_and_halo_paths_agree(setup):
+    """The two kernels agree to float rounding (measured bit-exact on
+    hardware for the flagship config when the whole path was introduced;
+    interpret mode shows ~5e-6 op-order noise)."""
+    net, params, x, y_ref = setup
+    y_h = np.asarray(resnetv2_apply_fused(params, x, n_blocks=10,
+                                          max_d_rate=4, whole_max_t=0))
+    y_w = np.asarray(resnetv2_apply_fused(params, x, n_blocks=10,
+                                          max_d_rate=4))
+    np.testing.assert_allclose(y_w, y_h, atol=1e-4)
+
+
+@pytest.mark.parametrize("whole_max_t", [0, 1024])
+def test_causality_preserved(setup, whole_max_t):
     net, params, x, y_ref = setup
     x2 = x.at[0, 60].set(x[0, 60] + 5.0)
     y2 = np.asarray(resnetv2_apply_fused(params, x2, n_blocks=10, max_d_rate=4,
-                                         group=5, tile_t=64))
+                                         group=5, tile_t=64,
+                                         whole_max_t=whole_max_t))
     np.testing.assert_allclose(y2[0, :60], y_ref[0, :60], atol=5e-4)
     assert np.abs(y2[0, 60:] - y_ref[0, 60:]).max() > 1e-4
 
@@ -52,7 +77,7 @@ def test_halo_guard():
     params = net.init(jax.random.PRNGKey(0), x)
     with pytest.raises(ValueError):
         resnetv2_apply_fused(params, x, n_blocks=10, max_d_rate=4,
-                             group=10, tile_t=16)
+                             group=10, tile_t=16, whole_max_t=0)
 
 
 def test_enhancer_with_fused_apply(setup):
