@@ -26,45 +26,102 @@ _VOWELS = [(730, 1090, 2440), (270, 2290, 3010), (300, 870, 2240),
            (390, 1990, 2550), (570, 840, 2410)]
 
 
-def _formant_filter(x: np.ndarray, formants, fs: int) -> np.ndarray:
-    """Cascade of 2nd-order resonators at the formant frequencies."""
+def _formant_track(rng: np.random.RandomState, n: int, fs: int,
+                   hop_s: float = 0.12) -> np.ndarray:
+    """[n, 3] piecewise-linear formant trajectories through random vowel
+    targets (coarticulation: formants glide instead of jumping)."""
+    n_tg = max(int(n / fs / hop_s) + 2, 2)
+    targets = np.array([_VOWELS[rng.randint(len(_VOWELS))]
+                        for _ in range(n_tg)], dtype=np.float64)
+    tgrid = np.linspace(0, n, n_tg)
+    return np.stack([np.interp(np.arange(n), tgrid, targets[:, i])
+                     for i in range(3)], axis=1)
+
+
+def _tv_resonator(x: np.ndarray, f: np.ndarray, bw: float,
+                  fs: int) -> np.ndarray:
+    """Time-varying 2nd-order resonator: coefficients updated every 10 ms,
+    filter state carried across blocks."""
     from scipy.signal import lfilter
-    y = x
-    for f0, bw in zip(formants, (80.0, 120.0, 160.0)):
+    blk = fs // 100
+    y = np.empty_like(x)
+    zi = np.zeros(2)
+    for p in range(0, len(x), blk):
+        e = min(p + blk, len(x))
         r = np.exp(-np.pi * bw / fs)
-        theta = 2.0 * np.pi * f0 / fs
-        a = [1.0, -2.0 * r * np.cos(theta), r * r]
-        y = lfilter([1.0 - r], a, y)
+        th = 2.0 * np.pi * f[p:e].mean() / fs
+        y[p:e], zi = lfilter([1.0 - r], [1.0, -2.0 * r * np.cos(th), r * r],
+                             x[p:e], zi=zi)
     return y
 
 
 def synth_utterance(rng: np.random.RandomState, seconds: float = 4.0,
                     fs: int = 16000) -> np.ndarray:
-    """One synthetic utterance, int16."""
+    """One synthetic utterance, int16.
+
+    Source-filter model tuned so its statistics approach real speech
+    (round-1 version used fixed 80/120/160 Hz formant bandwidths -- so
+    peaky that clean-vs-5dB-noisy LLR averaged ~4.1 against ~1.7 for the
+    reference's real recordings, depressing the campaign's CSIG/COVL
+    absolutes): randomized wider bandwidths, continuously-gliding formant
+    tracks, lowpass-shaped aspiration noise in voiced segments, a full-band
+    harmonic stack, and a +6 dB/oct radiation characteristic. The
+    aspiration is -6 dB/oct *before* radiation so it lands flat after --
+    adding it white made the post-radiation "clean" signal 98%
+    above-3 kHz hiss, which collapsed every clean-referenced STOI in the
+    quality campaign (STOI(clean, 5 dB) was 0.40 vs ~0.85 for real speech).
+    Post-radiation per-segment levels are rebalanced (vowels ~9 dB above
+    fricatives, as in real speech). Measured on this version:
+    STOI(clean, 5 dB white) = 0.88, LLR = 3.0, 11% of energy above 3 kHz.
+    """
     n = int(seconds * fs)
     t = np.arange(n) / fs
     pitch = rng.uniform(85, 230)
     # drifting pitch contour
     f0 = pitch * (1.0 + 0.12 * np.sin(2 * np.pi * rng.uniform(0.3, 1.2) * t)
                   + 0.05 * np.cumsum(rng.randn(n)) / np.sqrt(n))
+    # cycle-scale pitch jitter (~1.2%): real phonation is aperiodic enough
+    # that LPC can't lock onto the harmonic comb; halves the clean-vs-noisy
+    # LLR gap vs a deterministic contour
+    f0 = f0 * (1.0 + 0.012 * np.repeat(rng.randn(n // 160 + 1), 160)[:n])
     phase = 2.0 * np.pi * np.cumsum(f0) / fs
-    # glottal-ish source: harmonics with 1/k rolloff
-    src = sum(np.sin(k * phase) / k for k in range(1, 13))
+    # glottal-ish source: harmonics with 1/k rolloff, out to 7.6 kHz so
+    # voiced segments carry energy across the full analysis band
+    k_max = max(int(7600.0 / float(f0.max())), 12)
+    src = sum(np.sin(k * phase) / k for k in range(1, k_max + 1))
+    F = _formant_track(rng, n, fs)
+    bws = (rng.uniform(110, 200), rng.uniform(140, 260), rng.uniform(180, 320))
+    from scipy.signal import lfilter
     out = np.zeros(n)
+    spans = []  # (start, end, target RMS after radiation)
     pos = 0
     while pos < n:
         seg = int(rng.uniform(0.08, 0.3) * fs)
         end = min(pos + seg, n)
         if rng.rand() < 0.18:   # pause
             pass
-        elif rng.rand() < 0.22:  # fricative: shaped noise
-            noise = rng.randn(end - pos)
-            from scipy.signal import lfilter
-            out[pos:end] = 0.25 * lfilter([1, -0.97], [1], noise)
-        else:                    # voiced: formant-filtered source
-            vowel = _VOWELS[rng.randint(len(_VOWELS))]
-            out[pos:end] = _formant_filter(src[pos:end], vowel, fs)
+        elif rng.rand() < 0.22:  # fricative: noise (radiation adds the tilt)
+            out[pos:end] = rng.randn(end - pos)
+            spans.append((pos, end, 0.35))
+        else:                    # voiced: formants over source + aspiration
+            asp = lfilter([0.05], [1.0, -0.95], rng.randn(end - pos))
+            y = src[pos:end] + 2.0 * asp
+            for i in range(3):
+                y = _tv_resonator(y, F[pos:end, i], bws[i], fs)
+            # fixed higher formants F4/F5: without them the 3-8 kHz hole is
+            # trivially LPC-predictable, inflating LLR
+            for fhi, bhi in ((3400.0, 350.0), (4500.0, 500.0)):
+                y = y + 4.0 * _tv_resonator(y, np.full(end - pos, fhi),
+                                            bhi, fs)
+            out[pos:end] = y
+            spans.append((pos, end, 1.0))
         pos = end
+    out = np.diff(out, prepend=0.0)  # lip-radiation +6 dB/oct
+    # per-segment level balance AFTER radiation: the +6 dB/oct tilt boosts
+    # hiss far more than harmonics, so unnormalised fricatives would carry
+    # ~20x the vowels' power; real speech has vowels ~9 dB ABOVE fricatives
+    for p, e, target in spans:
+        out[p:e] *= target / max(np.sqrt(np.mean(out[p:e] ** 2)), 1e-9)
     # syllabic envelope
     env = 0.55 + 0.45 * np.sin(2 * np.pi * rng.uniform(2.5, 4.5) * t
                                + rng.uniform(0, 2 * np.pi))
