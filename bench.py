@@ -80,12 +80,17 @@ def bench_resnet_rtf(B=96, seconds=10.0):
     return B * (n / f_s) / dt
 
 
-def bench_mhanet_rtf(impl, B=64, seconds=10.0):
+def bench_mhanet_rtf(impl, B=None, seconds=10.0):
     """mhanet-1.1c (4.6M params, 5 blocks, 8 heads) enhancement RTF with
-    full [B,H,T,T] or blockwise attention. Batch sweep on v5e (full attn,
-    10 s): 8 -> 21.5k, 32 -> 22.4k, 64 -> 23.4k; B=64 is the knee. DFT
+    full [B,H,T,T], blockwise, or fused-Pallas (VMEM-resident scores)
+    attention. Batch sweeps on v5e (10 s utts): full 8 -> 21.5k,
+    32 -> 22.4k, 64 -> 23.4k (knee 64); fused 64 -> 33.6k, 96 -> 35.0k,
+    128 -> 35.6k, 192 -> 31.0k (knee 128 -- with the O(T^2) HBM scores
+    eliminated the pipeline feeds bigger batches before saturating). DFT
     matmuls at the mhanet preset's 'highest' (the bf16-DFT neutrality
     evidence was gathered on the resnet flagship only)."""
+    if B is None:
+        B = 128 if impl == "fused" else 64
     from deepxi_tpu.enhance import make_enhancer
     from deepxi_tpu.models import network_selector
 
@@ -173,6 +178,7 @@ def main():
     rtf = bench_resnet_rtf()
     extra = {}
     try:
+        extra["mhanet-1.1c_rtf_fused"] = round(bench_mhanet_rtf("fused"), 2)
         extra["mhanet-1.1c_rtf_full"] = round(bench_mhanet_rtf("full"), 2)
         extra["mhanet-1.1c_rtf_block"] = round(bench_mhanet_rtf("block"), 2)
     except Exception as e:  # pragma: no cover - report partial results

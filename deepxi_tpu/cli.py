@@ -85,8 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Force a JAX platform (cpu/tpu); overrides any "
                         "site-level backend registration")
     p.add_argument("--attention_impl", type=str, default=None,
-                   help="MHANet attention: 'full' or 'block' (long audio)")
+                   help="MHANet attention: 'full', 'block' (long audio), "
+                        "or 'fused' (VMEM-resident Pallas scores)")
     p.add_argument("--block_q", type=int, default=None)
+    p.add_argument("--mha_fused", type=str_to_bool, default=None,
+                   help="Fused Pallas attention (VMEM-resident scores) for "
+                        "MHANet inference")
     p.add_argument("--tcn_fused", type=str_to_bool, default=None,
                    help="Fused Pallas TCN kernel in the infer fast path")
     p.add_argument("--dft_precision", type=str, default=None,

@@ -105,6 +105,11 @@ class Config:
     attention_impl: str = "full"  # "block": O(T*block_q) long-audio attention
     block_q: int = 256
     tcn_fused: bool = False  # fused Pallas TCN in the infer fast path (1.7x)
+    # Fused Pallas attention (VMEM-resident scores) for MHANetV2/V3 in the
+    # infer fast path; matches the full path on valid rows to float
+    # rounding (tests/test_mha_fused.py), forward-only so inference-gated.
+    # Ignored when attention_impl is explicitly "block".
+    mha_fused: bool = True
     # MXU precision of the analysis/synthesis DFT matmuls in the fused
     # inference path ("highest" = f32-exact, "default" = one-pass bf16
     # multiplies, ~1.2x end-to-end; quality-neutral on trained weights:

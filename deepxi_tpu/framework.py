@@ -592,6 +592,7 @@ class DeepXiTPU:
         self._jit_cache = cache
         if f"fast_enh_{g}" not in cache:
             apply_fn = None
+            network = self.network
             if (cfg.tcn_fused and cfg.network_type == "ResNetV2"
                     and cfg.causal and cfg.unit_type == "ReLU->LN->W+b"):
                 from deepxi_tpu.ops.kernels.tcn_fused import \
@@ -600,8 +601,13 @@ class DeepXiTPU:
                     p, m, n_blocks=cfg.n_blocks,
                     max_d_rate=cfg.max_d_rate, k=cfg.k,
                     outp_act=cfg.outp_act))
+            if (cfg.mha_fused and cfg.attention_impl == "full"
+                    and cfg.network_type in ("MHANetV2", "MHANetV3")):
+                # forward-only Pallas kernel: inference clones the module
+                # (training keeps the differentiable full path)
+                network = network.clone(attention_impl="fused")
             cache[f"fast_enh_{g}"] = make_enhancer(
-                self.inp_tgt, self.network, g, apply_fn=apply_fn,
+                self.inp_tgt, network, g, apply_fn=apply_fn,
                 precision=cfg.dft_precision)
         return cache[f"fast_enh_{g}"]
 

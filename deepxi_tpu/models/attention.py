@@ -153,6 +153,10 @@ class TFAMultiHeadAttention(nn.Module):
     # "block": lax.scan over query blocks -- O(T * block_q) live memory
     #   instead of O(T^2), for long-audio inference (SURVEY.md section 2f);
     #   numerically identical (same additive mask + softmax).
+    # "fused": Pallas kernel keeping each query tile's logits in VMEM --
+    #   the [T, T] score matrix never reaches HBM (the MHANet inference
+    #   bottleneck); same additive-mask softmax, matches "full" on valid
+    #   rows to float rounding (deepxi_tpu/ops/kernels/mha_fused.py).
     impl: str = "full"
     block_q: int = 256
 
@@ -173,10 +177,16 @@ class TFAMultiHeadAttention(nn.Module):
         kp = jnp.einsum("bsI,HId->bsHd", k, kk)
         vp = jnp.einsum("bsI,HId->bsHd", v, vk)
 
-        if self.impl == "block":
+        if self.impl in ("block", "fused"):
             if valid is None:
-                raise ValueError("block attention needs the [B, T] valid mask")
-            out = _blockwise_attention(qp, kp, vp, valid, causal, self.block_q)
+                raise ValueError(
+                    f"{self.impl} attention needs the [B, T] valid mask")
+            if self.impl == "fused":
+                from deepxi_tpu.ops.kernels.mha_fused import flash_attention
+                out = flash_attention(qp, kp, vp, valid, causal, self.block_q)
+            else:
+                out = _blockwise_attention(qp, kp, vp, valid, causal,
+                                           self.block_q)
         else:
             logits = jnp.einsum("btHd,bsHd->bHts", qp, kp)
             if mask is not None:
@@ -235,7 +245,7 @@ class MHANetV2(nn.Module):
 
     @nn.compact
     def __call__(self, inp: jnp.ndarray) -> jnp.ndarray:
-        if self.attention_impl == "block":
+        if self.attention_impl in ("block", "fused"):
             # never materialise [T, T]: per-block masks rebuild from [B, T]
             mask, valid = None, sequence_valid_mask(inp)
         else:
