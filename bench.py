@@ -107,9 +107,11 @@ def bench_mhanet_rtf(impl, B=None, seconds=10.0):
     return B * (n / f_s) / dt
 
 
-def bench_train_step(B=8, seconds=4.096):
+def bench_train_step(B=8, seconds=4.096, fused=False):
     """Fused train-step throughput (mix+STFT+targets+fwd+bwd+Adam in one
-    jit) on the flagship topology: steps/s and audio-seconds/s."""
+    jit) on the flagship topology: steps/s and audio-seconds/s. With
+    fused=True the forward/backward run through the custom-VJP Pallas TCN
+    (ops/kernels/tcn_fused_train.py)."""
     from deepxi_tpu.models import network_selector
     from deepxi_tpu.training import TrainState, make_optimizer, make_train_step
 
@@ -121,7 +123,13 @@ def bench_train_step(B=8, seconds=4.096):
     tx = make_optimizer("ResNetV2")
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((B, n // N_s, 257)))
     state = TrainState.create(params, tx)
-    step = jax.jit(make_train_step(net, it, tx))
+    apply_fn = None
+    if fused:
+        from deepxi_tpu.ops.kernels.tcn_fused_train import \
+            resnetv2_apply_fused_train
+        apply_fn = lambda p, m: resnetv2_apply_fused_train(
+            p, m, n_blocks=40, max_d_rate=16)
+    step = jax.jit(make_train_step(net, it, tx, apply_fn=apply_fn))
     rng = np.random.RandomState(2)
     s = jax.device_put(jnp.asarray((rng.randn(B, n) * 3000).astype(np.int16)))
     d = jax.device_put(jnp.asarray((rng.randn(B, 2 * n) * 2000).astype(np.int16)))
@@ -187,6 +195,10 @@ def main():
         steps_s, audio_s = bench_train_step()
         extra["train_steps_per_sec"] = round(steps_s, 2)
         extra["train_audio_sec_per_sec"] = round(audio_s, 2)
+        _, audio_s32 = bench_train_step(B=32)
+        extra["train_audio_sec_per_sec_B32"] = round(audio_s32, 2)
+        _, audio_f = bench_train_step(B=32, fused=True)
+        extra["train_audio_sec_per_sec_B32_fused"] = round(audio_f, 2)
     except Exception as e:  # pragma: no cover
         extra["train_error"] = str(e)[:200]
     try:

@@ -93,6 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "MHANet inference")
     p.add_argument("--tcn_fused", type=str_to_bool, default=None,
                    help="Fused Pallas TCN kernel in the infer fast path")
+    p.add_argument("--tcn_fused_train", type=str_to_bool, default=None,
+                   help="Custom-VJP fused Pallas TCN in the train step")
     p.add_argument("--dft_precision", type=str, default=None,
                    choices=["highest", "high", "default"],
                    help="MXU precision of the fused-path DFT matmuls "

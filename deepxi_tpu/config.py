@@ -105,6 +105,10 @@ class Config:
     attention_impl: str = "full"  # "block": O(T*block_q) long-audio attention
     block_q: int = 256
     tcn_fused: bool = False  # fused Pallas TCN in the infer fast path (1.7x)
+    # Differentiable fused TCN (custom-VJP Pallas fwd+bwd,
+    # ops/kernels/tcn_fused_train.py) in the train step; gradient-parity
+    # tested vs the flax path (tests/test_tcn_fused_train.py).
+    tcn_fused_train: bool = False
     # Fused Pallas attention (VMEM-resident scores) for MHANetV2/V3 in the
     # infer fast path; matches the full path on valid rows to float
     # rounding (tests/test_mha_fused.py), forward-only so inference-gated.

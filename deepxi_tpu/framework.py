@@ -209,8 +209,17 @@ class DeepXiTPU:
             train_step = jax.jit(make_phoneme_train_step(
                 self.network, self.inp_tgt, tx), donate_argnums=(0,))
         else:
+            apply_fn = None
+            if (cfg.tcn_fused_train and cfg.network_type == "ResNetV2"
+                    and cfg.causal and cfg.unit_type == "ReLU->LN->W+b"):
+                from deepxi_tpu.ops.kernels.tcn_fused_train import \
+                    resnetv2_apply_fused_train
+                apply_fn = (lambda p, m: resnetv2_apply_fused_train(
+                    p, m, n_blocks=cfg.n_blocks, max_d_rate=cfg.max_d_rate,
+                    k=cfg.k, outp_act=cfg.outp_act))
             train_step = jax.jit(make_train_step(self.network, self.inp_tgt, tx,
-                                                 cfg.loss_fnc), donate_argnums=(0,))
+                                                 cfg.loss_fnc, apply_fn=apply_fn),
+                                 donate_argnums=(0,))
         loader = MiniBatchLoader(self.train_s_list, self.train_d_list,
                                  cfg.mbatch_size, cfg.snr_levels, seed=cfg.seed,
                                  N_s=cfg.N_s, with_labels=phoneme_mode)

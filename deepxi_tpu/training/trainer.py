@@ -79,20 +79,25 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_train_step(network, inp_tgt, tx,
-                    loss_fnc: str = "BinaryCrossentropy") -> Callable:
+                    loss_fnc: str = "BinaryCrossentropy",
+                    apply_fn: Optional[Callable] = None) -> Callable:
     """Build the fused on-device train step:
     (state, key, s, d, s_len, d_len, snr) -> (state, metrics).
 
     The example synthesis (mix/STFT/map, ref: deepxi/inp_tgt.py:173-196) is
     traced into the same XLA computation as forward/backward, so the only
     host->device transfer per step is the raw int16 waveforms.
+
+    apply_fn optionally replaces network.apply with a differentiable fused
+    forward (e.g. kernels.tcn_fused_train.resnetv2_apply_fused_train).
     """
+    net_apply = apply_fn if apply_fn is not None else network.apply
 
     def loss_fn(params, key, s, d, s_len, d_len, snr):
         inp, tgt, n_frames = inp_tgt.example(key, s, d, s_len, d_len, snr)
         T = inp.shape[1]
         seq_mask = (jnp.arange(T)[None, :] < n_frames[:, None]).astype(jnp.float32)
-        pred = network.apply(params, inp)
+        pred = net_apply(params, inp)
         return masked_loss(pred, tgt, seq_mask, loss_fnc)
 
     def train_step(state: TrainState, key, s, d, s_len, d_len, snr):

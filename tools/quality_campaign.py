@@ -55,6 +55,11 @@ def main(argv=None) -> int:
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--n_train", type=int, default=300)
     ap.add_argument("--gain", default="mmse-lsa")
+    ap.add_argument("--warmup_steps", type=int, default=None,
+                    help="override the preset's Transformer-schedule warmup "
+                         "(the reference's 40k steps assumes its real-corpus "
+                         "epoch size; the synthetic campaign runs ~38 "
+                         "steps/epoch, so MHA runs need a shorter ramp)")
     ap.add_argument("--skip_corpus", action="store_true")
     ap.add_argument("--skip_train", action="store_true")
     ap.add_argument("--resume_epoch", type=int, default=0)
@@ -74,10 +79,13 @@ def main(argv=None) -> int:
     from deepxi_tpu.data import batch_list
     from deepxi_tpu.framework import DeepXiTPU
 
+    extra = {}
+    if args.warmup_steps is not None:
+        extra["warmup_steps"] = args.warmup_steps
     cfg = preset(args.ver, max_epochs=args.epochs, test_epoch=args.epochs,
                  gain=args.gain, train=True, val_flag=True,
                  save_every=25, val_every=5,
-                 resume_epoch=args.resume_epoch)
+                 resume_epoch=args.resume_epoch, **extra)
     s_list = batch_list(os.path.join(cfg.set_path, "train_clean_speech"),
                         "clean_speech", cfg.data_path)
     d_list = batch_list(os.path.join(cfg.set_path, "train_noise"),
