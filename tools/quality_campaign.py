@@ -55,6 +55,9 @@ def main(argv=None) -> int:
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--n_train", type=int, default=300)
     ap.add_argument("--gain", default="mmse-lsa")
+    ap.add_argument("--tcn_fused_train", action="store_true",
+                    help="train through the custom-VJP fused Pallas TCN "
+                         "(equivalence evidence for the kernel's gradients)")
     ap.add_argument("--warmup_steps", type=int, default=None,
                     help="override the preset's Transformer-schedule warmup "
                          "(the reference's 40k steps assumes its real-corpus "
@@ -86,6 +89,9 @@ def main(argv=None) -> int:
                  gain=args.gain, train=True, val_flag=True,
                  save_every=25, val_every=5,
                  resume_epoch=args.resume_epoch, **extra)
+    if args.tcn_fused_train:
+        # separate log/model/results names for the equivalence run
+        cfg = cfg.replace(tcn_fused_train=True, ver=args.ver + "-ft")
     s_list = batch_list(os.path.join(cfg.set_path, "train_clean_speech"),
                         "clean_speech", cfg.data_path)
     d_list = batch_list(os.path.join(cfg.set_path, "train_noise"),
