@@ -56,6 +56,7 @@ def _dot(a, b):
 
 def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
                             dilations: Sequence[int], k: int = 3,
+                            batch_group: int = 1,
                             interpret: bool | None = None) -> jnp.ndarray:
     """Apply a group of causal ReLU->LN->W+b bottleneck blocks in one Pallas
     kernel with the WHOLE sequence resident in VMEM (no time tiling).
@@ -67,6 +68,15 @@ def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
     model's causal padding -- and every block runs at constant width T.
     Output is bit-identical to `fused_block_group` (tests/test_tcn_fused.py).
 
+    batch_group > 1 processes that many batch rows per grid cell: the 1x1
+    matmuls flatten [Bg, T, C] -> [Bg*T, C] (rows independent) and the
+    dilated conv pads per-row, so numerics are unchanged while the MXU sees
+    Bg x taller matmuls. MEASURED NOT TO PAY on v5e at the flagship shape
+    (B=96, T=625): bg=1 115.8k RTF, bg=2 91.7k (bigger live blocks squeeze
+    out the grid's double-buffering), bg=4 scoped-VMEM OOM (16.8M > 16M).
+    Kept because the flattening is free at bg=1 and the knob documents the
+    experiment; default stays 1.
+
     Args/returns as `fused_block_group`.
     """
     from jax.experimental import pallas as pl
@@ -77,14 +87,16 @@ def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
 
     B, T, C = x.shape
     G = len(weights)
+    Bg = max(1, batch_group)
     Tpad = -(-T // 8) * 8  # sublane alignment
-    if Tpad != T:
-        x = jnp.pad(x, ((0, 0), (0, Tpad - T), (0, 0)))
+    Bpad = -(-B // Bg) * Bg
+    if Tpad != T or Bpad != B:
+        x = jnp.pad(x, ((0, Bpad - B), (0, Tpad - T), (0, 0)))
 
     def kernel(x_ref, *refs):
         w_refs, o_ref = refs[:-1], refs[-1]
-        h = x_ref[0]
-        W = h.shape[0]
+        h = x_ref[...].reshape(Bg * Tpad, C)
+        W = Tpad
         for g in range(G):
             d = dilations[g]
             w1, b1, w2, b2, w3, b3 = w_refs[6 * g: 6 * g + 6]
@@ -93,15 +105,19 @@ def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
             u1 = _dot(a, w1[...][0]) + b1[...][0]
             a2 = _ln(jax.nn.relu(u1))
             # causal dilated conv via per-tap shifted slices of the
-            # zero-padded input: out[t] = sum_j a2[t-(k-1-j)d] @ W[j]
-            a2p = jnp.pad(a2, ((reach, 0), (0, 0)))
-            y = _dot(a2p[(k - 1) * d:(k - 1) * d + W], w2[...][k - 1])
+            # PER-ROW zero-padded input: out[t] = sum_j a2[t-(k-1-j)d] @ W[j]
+            df = a2.shape[-1]
+            a2p = jnp.pad(a2.reshape(Bg, Tpad, df),
+                          ((0, 0), (reach, 0), (0, 0)))
+            y = _dot(a2p[:, (k - 1) * d:(k - 1) * d + W]
+                     .reshape(Bg * W, df), w2[...][k - 1])
             for j in range(k - 1):
-                y = y + _dot(a2p[j * d: j * d + W], w2[...][j])
+                y = y + _dot(a2p[:, j * d: j * d + W].reshape(Bg * W, df),
+                             w2[...][j])
             y = y + b2[...][0]
             a3 = _ln(jax.nn.relu(y))
             h = h + _dot(a3, w3[...][0]) + b3[...][0]
-        o_ref[0] = h
+        o_ref[...] = h.reshape(Bg, Tpad, C)
 
     w_specs = []
     w_args = []
@@ -116,18 +132,18 @@ def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
 
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(Bpad // Bg,),
         in_specs=[
-            pl.BlockSpec((1, Tpad, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((Bg, Tpad, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             *w_specs,
         ],
-        out_specs=pl.BlockSpec((1, Tpad, C), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((Bg, Tpad, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Tpad, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bpad, Tpad, C), jnp.float32),
         interpret=interpret,
     )(x, *w_args)
-    return out[:, :T]
+    return out[:B, :T]
 
 
 def fused_block_group(x: jnp.ndarray, weights: Sequence[BlockWeights],
@@ -232,7 +248,7 @@ def fused_block_group(x: jnp.ndarray, weights: Sequence[BlockWeights],
 def resnetv2_apply_fused(params, x: jnp.ndarray, n_blocks: int = 40,
                          max_d_rate: int = 16, k: int = 3,
                          group: int = 20, tile_t: int = 640,
-                         whole_max_t: int = 1024,
+                         whole_max_t: int = 1024, batch_group: int = 1,
                          outp_act: str = "Sigmoid") -> jnp.ndarray:
     """ResNetV2 forward (causal, ReLU->LN->W+b, Sigmoid) with the block
     stack running through fused Pallas group kernels. Drop-in equivalent of
@@ -260,7 +276,8 @@ def resnetv2_apply_fused(params, x: jnp.ndarray, n_blocks: int = 40,
             w3=p[f"block{i}_u3_conv"]["kernel"], b3=p[f"block{i}_u3_conv"]["bias"],
         ) for i in idx]
         if whole:
-            h = fused_block_group_whole(h, weights, [dil[i] for i in idx], k=k)
+            h = fused_block_group_whole(h, weights, [dil[i] for i in idx],
+                                        k=k, batch_group=batch_group)
         else:
             h = fused_block_group(h, weights, [dil[i] for i in idx], k=k,
                                   tile_t=tile_t)

@@ -46,6 +46,16 @@ def test_matches_flax_whole(setup, group):
     np.testing.assert_allclose(y, y_ref, atol=5e-4)
 
 
+@pytest.mark.parametrize("batch_group", [2, 3])
+def test_matches_flax_whole_batch_grouped(setup, batch_group):
+    """batch_group > 1 (multi-row grid cells; includes a non-divisor of B
+    exercising the batch pad/trim) is numerics-identical."""
+    net, params, x, y_ref = setup
+    y = np.asarray(resnetv2_apply_fused(params, x, n_blocks=10, max_d_rate=4,
+                                        batch_group=batch_group))
+    np.testing.assert_allclose(y, y_ref, atol=5e-4)
+
+
 def test_whole_and_halo_paths_agree(setup):
     """The two kernels agree to float rounding (measured bit-exact on
     hardware for the flagship config when the whole path was introduced;
