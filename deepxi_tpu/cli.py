@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--infer", type=str_to_bool, default=False)
     p.add_argument("--test", type=str_to_bool, default=False)
     p.add_argument("--spect_dist", type=str_to_bool, default=False)
+    p.add_argument("--export", type=str_to_bool, default=False,
+                   help="AOT serving export: serialize the fused enhancer "
+                        "of --test_epoch to StableHLO artifacts")
+    p.add_argument("--export_path", type=str, default=None)
     p.add_argument("--prelim", type=str_to_bool, default=False)
     p.add_argument("--sd_snr_levels", type=str_to_list, default=None)
     p.add_argument("--sd_target", type=str_to_list, default=None,
@@ -116,7 +120,7 @@ def config_from_args(argv: Optional[List[str]] = None) -> Config:
     overrides = {k: v for k, v in vars(args).items()
                  if k in field_names and v is not None}
     # booleans parsed with default False must still override presets
-    for k in ("train", "infer", "test", "spect_dist", "prelim"):
+    for k in ("train", "infer", "test", "spect_dist", "prelim", "export"):
         overrides[k] = getattr(args, k)
     return base.replace(**overrides)
 
@@ -169,9 +173,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             else [cfg.sd_target]
         for tgt in targets:
             deepxi.spectral_distortion(target=tgt)
-    if not (cfg.train or cfg.infer or cfg.test or cfg.spect_dist or cfg.prelim):
+    if cfg.export:
+        written = deepxi.export_serving(out_dir=cfg.export_path)
+        print(f"exported {len(written)} serving artifacts")
+    if not (cfg.train or cfg.infer or cfg.test or cfg.spect_dist
+            or cfg.prelim or cfg.export):
         print("nothing to do: pass --train 1, --infer 1, --test 1, "
-              "--spect_dist 1 and/or --prelim 1")
+              "--spect_dist 1, --export 1 and/or --prelim 1")
         return 1
     return 0
 

@@ -54,6 +54,8 @@ class Config:
     test: bool = False
     spect_dist: bool = False
     prelim: bool = False
+    export: bool = False  # AOT serving export (deepxi_tpu.serving)
+    export_path: Optional[str] = None  # default: out/<ver>/e<N>/serving
     sd_snr_levels: Any = dataclasses.field(default_factory=lambda: [-5, 0, 5, 10, 15])
     sd_target: Any = "xi"  # "xi", "gamma", or a list of both
 

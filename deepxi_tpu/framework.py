@@ -592,6 +592,26 @@ class DeepXiTPU:
 
     _FAST_FAMILIES = ("MagXi", "MagXiGamma", "MagGain", "MagSMM", "MagMag")
 
+    def _fast_apply(self):
+        """(network, apply_fn) for the fused inference fast path: the Pallas
+        fused TCN / fused attention when the config enables them."""
+        cfg = self.cfg
+        apply_fn = None
+        network = self.network
+        if (cfg.tcn_fused and cfg.network_type == "ResNetV2"
+                and cfg.causal and cfg.unit_type == "ReLU->LN->W+b"):
+            from deepxi_tpu.ops.kernels.tcn_fused import resnetv2_apply_fused
+            apply_fn = (lambda p, m: resnetv2_apply_fused(
+                p, m, n_blocks=cfg.n_blocks,
+                max_d_rate=cfg.max_d_rate, k=cfg.k,
+                outp_act=cfg.outp_act))
+        if (cfg.mha_fused and cfg.attention_impl == "full"
+                and cfg.network_type in ("MHANetV2", "MHANetV3")):
+            # forward-only Pallas kernel: inference clones the module
+            # (training keeps the differentiable full path)
+            network = network.clone(attention_impl="fused")
+        return network, apply_fn
+
     def _fast_enhancer(self, g: str):
         """Cached fused bucketed enhancer for gain-form families
         (deepxi_tpu.enhance), with the Pallas fused TCN when configured."""
@@ -600,25 +620,34 @@ class DeepXiTPU:
         cache = getattr(self, "_jit_cache", None) or {}
         self._jit_cache = cache
         if f"fast_enh_{g}" not in cache:
-            apply_fn = None
-            network = self.network
-            if (cfg.tcn_fused and cfg.network_type == "ResNetV2"
-                    and cfg.causal and cfg.unit_type == "ReLU->LN->W+b"):
-                from deepxi_tpu.ops.kernels.tcn_fused import \
-                    resnetv2_apply_fused
-                apply_fn = (lambda p, m: resnetv2_apply_fused(
-                    p, m, n_blocks=cfg.n_blocks,
-                    max_d_rate=cfg.max_d_rate, k=cfg.k,
-                    outp_act=cfg.outp_act))
-            if (cfg.mha_fused and cfg.attention_impl == "full"
-                    and cfg.network_type in ("MHANetV2", "MHANetV3")):
-                # forward-only Pallas kernel: inference clones the module
-                # (training keeps the differentiable full path)
-                network = network.clone(attention_impl="fused")
+            network, apply_fn = self._fast_apply()
             cache[f"fast_enh_{g}"] = make_enhancer(
                 self.inp_tgt, network, g, apply_fn=apply_fn,
                 precision=cfg.dft_precision)
         return cache[f"fast_enh_{g}"]
+
+    def export_serving(self, out_dir: Optional[str] = None,
+                       epoch: Optional[int] = None,
+                       gain: Optional[str] = None,
+                       batch: int = 32,
+                       buckets: Sequence[int] = (8192, 16384, 32768, 65536,
+                                                 131072, 262144)) -> List[str]:
+        """AOT serving export: serialize the fused wav->wav pipeline of a
+        trained epoch to StableHLO artifacts (deepxi_tpu.serving); no model
+        code or re-trace needed at load time. Returns written paths."""
+        from deepxi_tpu.serving import export_enhancer
+        cfg = self.cfg
+        epoch = epoch or (cfg.test_epoch if isinstance(cfg.test_epoch, int)
+                          else cfg.test_epoch[0])
+        g = gain or (cfg.gain if isinstance(cfg.gain, str) else cfg.gain[0])
+        params = self.load_epoch(epoch)
+        network, apply_fn = self._fast_apply()
+        out_dir = out_dir or os.path.join(cfg.out_path, cfg.ver,
+                                          f"e{epoch}", "serving")
+        return export_enhancer(self.inp_tgt, network, params, out_dir,
+                               gain=g, batch=batch, buckets=buckets,
+                               precision=cfg.dft_precision,
+                               apply_fn=apply_fn, ver=cfg.ver)
 
     def _enhance_all(self, p, x_batch, x_lens, names, g,
                      max_batch: int = 32) -> List[np.ndarray]:

@@ -65,6 +65,16 @@ def make_seq_sharded_enhancer(inp_tgt, network, gtype: str = "mmse-lsa",
 
     if mesh is None:
         raise ValueError("a mesh is required")
+    # TCN-only by construction (finite causal receptive field); an
+    # attention/RNN net would silently produce wrong shard boundaries
+    name = type(network).__name__
+    if name not in ("ResNet", "ResNetV2", "ResNetV3"):
+        raise ValueError(
+            f"sequence sharding needs a finite-receptive-field causal TCN "
+            f"(ResNet family), got {name}; attention attends over its whole "
+            f"past and has no finite halo")
+    if not getattr(network, "causal", False):
+        raise ValueError("sequence sharding requires a causal network")
     N_s = inp_tgt.N_s
     n_sh = mesh.shape[DATA_AXIS]
     if halo_frames is None:

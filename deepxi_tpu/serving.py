@@ -1,0 +1,109 @@
+"""Ahead-of-time serving exports: serialize the fused wav->wav enhancer to
+StableHLO artifacts that load and run WITHOUT any model code or Python
+re-trace (jax.export). No reference equivalent -- the reference serves by
+rebuilding the Keras graph from source + SavedModel weights every time
+(ref: deepxi/model.py:267-332); here a deployment ships one artifact per
+bucket shape with the weights baked in as constants.
+
+Layout under ``out_dir``::
+
+    manifest.json                 {"ver", "gain", "batch", "buckets",
+                                   "platforms", "f_s"}
+    enhancer_L<L>.stablehlo       serialized jax.export artifact,
+                                  x:int16[batch, L] -> float32[batch, out]
+
+`load_server` returns a callable that buckets/pads incoming batches and
+dispatches to the right artifact -- the inference-serving analogue of
+framework._fast_enhancer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def export_enhancer(inp_tgt, network, params, out_dir: str,
+                    gain: str = "mmse-lsa", batch: int = 32,
+                    buckets: Sequence[int] = (8192, 16384, 32768, 65536,
+                                              131072, 262144),
+                    precision: str = "highest",
+                    apply_fn: Optional[Callable] = None,
+                    ver: str = "model") -> list:
+    """Export the fused enhancement pipeline at each bucket length.
+
+    Weights are closed over, so each artifact is self-contained. Returns
+    the list of written paths. Artifacts bind to the exporting platform
+    (cpu/tpu) -- export on the deployment target.
+    """
+    from jax import export as jexport
+
+    from deepxi_tpu.enhance import make_enhancer
+
+    enhance = make_enhancer(inp_tgt, network, gain, precision=precision,
+                            apply_fn=apply_fn)
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for L in buckets:
+        fn = jax.jit(lambda x: enhance(params, x))
+        exp = jexport.export(fn)(
+            jax.ShapeDtypeStruct((batch, int(L)), jnp.int16))
+        path = os.path.join(out_dir, f"enhancer_L{int(L)}.stablehlo")
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        written.append(path)
+    manifest = {"ver": ver, "gain": gain, "batch": batch,
+                "buckets": [int(b) for b in buckets],
+                "platforms": [str(p) for p in exp.platforms],
+                "f_s": int(inp_tgt.f_s), "N_s": int(inp_tgt.N_s)}
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return written
+
+
+class EnhancerServer:
+    """Loaded export bundle: call with int16 [B, n] (B <= batch), get the
+    enhanced float waveform [B, n'] trimmed to the per-utterance iSTFT
+    length convention of the offline driver."""
+
+    def __init__(self, out_dir: str):
+        from jax import export as jexport
+
+        with open(os.path.join(out_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.batch = int(self.manifest["batch"])
+        self.N_s = int(self.manifest["N_s"])
+        self._fns = {}
+        for L in self.manifest["buckets"]:
+            p = os.path.join(out_dir, f"enhancer_L{L}.stablehlo")
+            with open(p, "rb") as f:
+                self._fns[int(L)] = jexport.deserialize(f.read())
+
+    def bucket_for(self, n: int) -> int:
+        for L in sorted(self._fns):
+            if n <= L:
+                return L
+        raise ValueError(f"input of {n} samples exceeds the largest "
+                         f"exported bucket ({max(self._fns)})")
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, np.int16)
+        B, n = x.shape
+        if B > self.batch:
+            raise ValueError(f"batch {B} > exported batch {self.batch}")
+        L = self.bucket_for(n)
+        xp = np.zeros((self.batch, L), np.int16)
+        xp[:B, :n] = x
+        y = np.asarray(self._fns[L].call(jnp.asarray(xp)))
+        n_frames = -(-n // self.N_s)
+        return y[:B, : (n_frames + 1) * self.N_s]
+
+
+def load_server(out_dir: str) -> EnhancerServer:
+    return EnhancerServer(out_dir)

@@ -53,6 +53,14 @@ class TestSeqSharded:
         assert y_sh.shape == (n,)
         np.testing.assert_allclose(y_sh, y_off, atol=2e-5)
 
+    def test_non_tcn_rejected(self, setup):
+        it, net, params, _ = setup
+        mha = network_selector("MHANetV2", 257, d_model=32, n_blocks=1,
+                               n_heads=4, causal=True, outp_act="Sigmoid")
+        with pytest.raises(ValueError, match="ResNet family"):
+            make_seq_sharded_enhancer(it, mha, "mmse-lsa",
+                                      mesh=make_mesh(n_data=8, n_model=1))
+
     def test_too_short_input_raises(self, setup):
         it, net, params, (nb, mdr, k) = setup
         mesh = make_mesh(n_data=8, n_model=1)
