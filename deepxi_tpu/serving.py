@@ -35,12 +35,17 @@ def export_enhancer(inp_tgt, network, params, out_dir: str,
                                               131072, 262144),
                     precision: str = "highest",
                     apply_fn: Optional[Callable] = None,
-                    ver: str = "model") -> list:
+                    mesh=None, ver: str = "model") -> list:
     """Export the fused enhancement pipeline at each bucket length.
 
     Weights are closed over, so each artifact is self-contained. Returns
     the list of written paths. Artifacts bind to the exporting platform
     (cpu/tpu) -- export on the deployment target.
+
+    With ``mesh`` (a jax.sharding.Mesh), the export is MULTI-CHIP: the
+    batch axis shards over the mesh's "data" axis and the artifact records
+    the shardings (jax.export carries them); serving then needs the same
+    device count, and ``load_server(..., mesh=...)`` places inputs.
     """
     from jax import export as jexport
 
@@ -48,10 +53,23 @@ def export_enhancer(inp_tgt, network, params, out_dir: str,
 
     enhance = make_enhancer(inp_tgt, network, gain, precision=precision,
                             apply_fn=apply_fn)
+    n_devices = 1
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from deepxi_tpu.parallel.mesh import DATA_AXIS
+        sh = NamedSharding(mesh, P(DATA_AXIS))
+        n_devices = mesh.size
+        if batch % mesh.shape[DATA_AXIS]:
+            raise ValueError(f"batch {batch} must divide over the "
+                             f"{mesh.shape[DATA_AXIS]}-way data axis")
     os.makedirs(out_dir, exist_ok=True)
     written = []
     for L in buckets:
-        fn = jax.jit(lambda x: enhance(params, x))
+        if mesh is None:
+            fn = jax.jit(lambda x: enhance(params, x))
+        else:
+            fn = jax.jit(lambda x: enhance(params, x),
+                         in_shardings=sh, out_shardings=sh)
         exp = jexport.export(fn)(
             jax.ShapeDtypeStruct((batch, int(L)), jnp.int16))
         path = os.path.join(out_dir, f"enhancer_L{int(L)}.stablehlo")
@@ -61,6 +79,7 @@ def export_enhancer(inp_tgt, network, params, out_dir: str,
     manifest = {"ver": ver, "gain": gain, "batch": batch,
                 "buckets": [int(b) for b in buckets],
                 "platforms": [str(p) for p in exp.platforms],
+                "n_devices": n_devices,
                 "f_s": int(inp_tgt.f_s), "N_s": int(inp_tgt.N_s)}
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -72,13 +91,23 @@ class EnhancerServer:
     enhanced float waveform [B, n'] trimmed to the per-utterance iSTFT
     length convention of the offline driver."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, mesh=None):
         from jax import export as jexport
 
         with open(os.path.join(out_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.batch = int(self.manifest["batch"])
         self.N_s = int(self.manifest["N_s"])
+        n_dev = int(self.manifest.get("n_devices", 1))
+        self._sharding = None
+        if n_dev > 1:
+            if mesh is None or mesh.size != n_dev:
+                raise ValueError(
+                    f"bundle was exported for {n_dev} devices; pass a mesh "
+                    f"of that size to load_server(..., mesh=...)")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from deepxi_tpu.parallel.mesh import DATA_AXIS
+            self._sharding = NamedSharding(mesh, P(DATA_AXIS))
         self._fns = {}
         for L in self.manifest["buckets"]:
             p = os.path.join(out_dir, f"enhancer_L{L}.stablehlo")
@@ -100,10 +129,13 @@ class EnhancerServer:
         L = self.bucket_for(n)
         xp = np.zeros((self.batch, L), np.int16)
         xp[:B, :n] = x
-        y = np.asarray(self._fns[L].call(jnp.asarray(xp)))
+        xj = jnp.asarray(xp)
+        if self._sharding is not None:
+            xj = jax.device_put(xj, self._sharding)
+        y = np.asarray(self._fns[L].call(xj))
         n_frames = -(-n // self.N_s)
         return y[:B, : (n_frames + 1) * self.N_s]
 
 
-def load_server(out_dir: str) -> EnhancerServer:
-    return EnhancerServer(out_dir)
+def load_server(out_dir: str, mesh=None) -> EnhancerServer:
+    return EnhancerServer(out_dir, mesh=mesh)

@@ -90,6 +90,26 @@ def test_framework_export_serving(tmp_path):
     assert y.shape[0] == 1 and np.isfinite(y).all()
 
 
+def test_multichip_export_roundtrip(small, tmp_path):
+    """mesh= export: the artifact records the dp shardings (nr_devices=8 on
+    the virtual CPU mesh), load_server demands a matching mesh, and the
+    sharded result equals the single-device server's."""
+    from deepxi_tpu.parallel import make_mesh
+
+    it, net, params, out_single, _ = small
+    mesh = make_mesh(n_data=8, n_model=1)
+    out = str(tmp_path / "mc")
+    export_enhancer(it, net, params, out, batch=8, buckets=(8192,),
+                    mesh=mesh, ver="test-mc")
+    with pytest.raises(ValueError, match="8 devices"):
+        load_server(out)  # mesh required
+    server = load_server(out, mesh=mesh)
+    x = (np.random.RandomState(2).randn(3, 6000) * 3000).astype(np.int16)
+    y_mc = server(x)
+    y_1 = load_server(out_single)(x)
+    np.testing.assert_allclose(y_mc, y_1[:, : y_mc.shape[1]], atol=2e-5)
+
+
 def test_server_rejects_oversize(small):
     _, _, _, out, _ = small
     server = load_server(out)
