@@ -3,19 +3,24 @@
 The reference is strictly offline (whole-utterance `model.predict`,
 ref: deepxi/model.py:286); its causal models (resnet-*c, mhanet-*c) are
 nevertheless streamable in principle. This module implements real streaming
-for the causal ResNet TCN family: a functional per-frame step with explicit
-delay-line state for every dilated convolution, plus streaming STFT analysis
-and overlap-add synthesis.
+for BOTH causal families:
+
+  * `StreamingEnhancer` -- ResNet TCN: per-frame step with explicit
+    delay-line state for every dilated convolution;
+  * `StreamingMHANet` -- MHANetV2/V3: per-frame step with per-block K/V
+    caches (causal self-attention re-reads its whole past, so the state is
+    the projected history up to `max_len` frames -- the same cap the
+    offline model's learned positional embedding imposes).
+
+Both share streaming STFT analysis and overlap-add synthesis.
 
 Latency: one analysis window (N_d = 32 ms) + one hop (N_s = 16 ms) of
 algorithmic delay; each `step` consumes one N_s-sample hop and emits one
 N_s-sample hop of enhanced audio.
 
-State layout: for each conv with kernel k and dilation d, a ring buffer of
-the last (k-1)*d input frames. Everything is static-shaped and jittable, so
-a compiled `step` can serve real-time audio; `lax.scan` over steps
-reproduces the offline pipeline exactly (tested to 1e-5).
-"""
+Everything is static-shaped and jittable, so a compiled `step` can serve
+real-time audio; `lax.scan` over steps reproduces the offline pipeline
+exactly (tested to 1e-5, tests/test_streaming.py)."""
 
 from __future__ import annotations
 
@@ -180,6 +185,156 @@ class StreamingEnhancer:
         `lax.scan`. Bit-equal (1e-5) to the offline fused pipeline: prime
         with chunk 0, process chunks 1..T-1 plus one zero chunk (the
         offline pad_end frame), emitting exactly the offline output."""
+        B, n = wav.shape
+        T = n // self.N_s
+        chunks = wav[:, :T * self.N_s].reshape(B, T, self.N_s)
+        state = self.prime(self.init_state(B), chunks[:, 0])
+        rest = jnp.concatenate(
+            [normalise(chunks[:, 1:]) if chunks.dtype != jnp.float32
+             else chunks[:, 1:],
+             jnp.zeros((B, 1, self.N_s))], axis=1).transpose(1, 0, 2)
+
+        def body(st, ch):
+            return self.step(st, ch)
+
+        _, outs = jax.lax.scan(body, state, rest)
+        return outs.transpose(1, 0, 2).reshape(B, T * self.N_s)
+
+
+class MHAStreamState(NamedTuple):
+    """Per-stream MHANet state: per-block K/V caches + frame clock +
+    analysis/synthesis sample carry."""
+    k_caches: Tuple[jnp.ndarray, ...]   # each [B, max_len, H, dk]
+    v_caches: Tuple[jnp.ndarray, ...]
+    t: jnp.ndarray                      # [] int32 current frame index
+    wav_tail: jnp.ndarray               # [B, N_d - N_s]
+    ola_tail: jnp.ndarray               # [B, N_d - N_s]
+
+
+class StreamingMHANet:
+    """Frame-by-frame enhancement with a causal MHANetV2/V3 xi estimator.
+
+    Causal self-attention attends over its WHOLE past, so streaming keeps a
+    K/V cache per block (the projected history), appended one frame per
+    hop; the additive -1e10 masking of the tfa convention
+    (ref: deepxi/network/attention.py:355-385) zeroes the unwritten cache
+    tail exactly, so outputs match the offline path to float rounding while
+    t < max_len (the offline model's own positional-embedding cap,
+    2048 frames = ~33 s; beyond it both paths wrap the embedding but the
+    cache evicts nothing -- streaming is defined for utterances within the
+    cap, like the reference's offline model)."""
+
+    def __init__(self, inp_tgt, net, params, gtype: str = "mmse-lsa"):
+        name = type(net).__name__
+        if name not in ("MHANetV2", "MHANetV3"):
+            raise ValueError(f"StreamingMHANet supports MHANetV2/V3, got {name}")
+        if not net.causal:
+            raise ValueError("streaming requires a causal network")
+        if inp_tgt.N_d != 2 * inp_tgt.N_s:
+            raise ValueError("streaming assumes 50% overlap (N_d == 2*N_s)")
+        self.it = inp_tgt
+        self.net = net
+        self.p = params["params"]
+        self.gtype = gtype
+        self.N_d, self.N_s, self.K = inp_tgt.N_d, inp_tgt.N_s, inp_tgt.K
+        self.nb = self.K // 2 + 1
+        self.A = jnp.asarray(_analysis_matrix(self.N_d, self.K))
+        self.S = jnp.asarray(_synthesis_matrix(self.N_d, self.N_s, self.K))
+        self.H = net.n_heads
+        self.dk = net.d_model // net.n_heads
+        self.max_len = getattr(net, "max_len", 2048)
+        self.has_pos = name == "MHANetV3"
+
+    def init_state(self, batch: int) -> MHAStreamState:
+        kc = tuple(jnp.zeros((batch, self.max_len, self.H, self.dk))
+                   for _ in range(self.net.n_blocks))
+        vc = tuple(jnp.zeros((batch, self.max_len, self.H, self.dk))
+                   for _ in range(self.net.n_blocks))
+        pad = self.N_d - self.N_s
+        return MHAStreamState(k_caches=kc, v_caches=vc,
+                              t=jnp.zeros((), jnp.int32),
+                              wav_tail=jnp.zeros((batch, pad)),
+                              ola_tail=jnp.zeros((batch, pad)))
+
+    def prime(self, state: MHAStreamState, chunk: jnp.ndarray) -> MHAStreamState:
+        """Load the first hop into the analysis tail WITHOUT running the
+        network (same contract as StreamingEnhancer.prime)."""
+        x = normalise(chunk) if chunk.dtype != jnp.float32 else chunk
+        return state._replace(wav_tail=x)
+
+    def _layer_norm(self, x, name):
+        ln = self.p[name]
+        return _ln(x, ln["scale"]) + ln["bias"]
+
+    def _net_step(self, state: MHAStreamState, feat):
+        """One frame through the MHANet. feat: [B, n_feat]."""
+        p = self.p
+        t = state.t
+        x = feat @ p["in_conv"]["kernel"][0]        # no bias (tfa-style)
+        x = self._layer_norm(x, "in_ln")
+        x = jax.nn.relu(x)
+        if self.has_pos:
+            x = x + jnp.take(p["pos_emb"]["embedding"],
+                             t % self.max_len, axis=0)
+
+        valid = (jnp.arange(self.max_len) <= t).astype(jnp.float32)
+        new_kc, new_vc = [], []
+        for i in range(self.net.n_blocks):
+            mha = p[f"block{i}_mha"]
+            q = jnp.einsum("bI,HId->bHd", x, mha["query_kernel"]) \
+                * (float(self.dk) ** -0.5)
+            k_new = jnp.einsum("bI,HId->bHd", x, mha["key_kernel"])
+            v_new = jnp.einsum("bI,HId->bHd", x, mha["value_kernel"])
+            kc = jax.lax.dynamic_update_slice(
+                state.k_caches[i], k_new[:, None], (0, t, 0, 0))
+            vc = jax.lax.dynamic_update_slice(
+                state.v_caches[i], v_new[:, None], (0, t, 0, 0))
+            new_kc.append(kc)
+            new_vc.append(vc)
+            logits = jnp.einsum("bHd,bLHd->bHL", q, kc)
+            logits = logits + (-1.0e10) * (1.0 - valid)[None, None, :]
+            w = jax.nn.softmax(logits, axis=-1)
+            o = jnp.einsum("bHL,bLHd->bHd", w, vc)
+            h = jnp.einsum("bHd,Hdo->bo", o, mha["projection_kernel"])
+            x = self._layer_norm(x + h, f"block{i}_ln1")
+            h = jax.nn.relu(x @ p[f"block{i}_ff1"]["kernel"]
+                            + p[f"block{i}_ff1"]["bias"])
+            h = h @ p[f"block{i}_ff2"]["kernel"] + p[f"block{i}_ff2"]["bias"]
+            x = self._layer_norm(x + h, f"block{i}_ln2")
+
+        out = x @ p["out_conv"]["kernel"][0] + p["out_conv"]["bias"]
+        return tuple(new_kc), tuple(new_vc), jax.nn.sigmoid(out)
+
+    def step(self, state: MHAStreamState, chunk: jnp.ndarray
+             ) -> Tuple[MHAStreamState, jnp.ndarray]:
+        """Process one hop of audio: same wav contract as
+        StreamingEnhancer.step."""
+        x = normalise(chunk) if chunk.dtype != jnp.float32 else chunk
+        frame = jnp.concatenate([state.wav_tail, x], axis=1)
+        wav_tail = frame[:, self.N_s:]
+
+        Y = frame @ self.A
+        re, im = Y[:, :self.nb], Y[:, self.nb:]
+        mag = jnp.sqrt(re * re + im * im)
+
+        kc, vc, xi_bar = self._net_step(state, mag)
+        xi_hat = self.it.xi_map.inverse(xi_bar)
+        G = gfunc(xi_hat, xi_hat + 1.0, self.gtype)
+        Yg = jnp.concatenate([re * G, im * G], axis=1)
+        syn = Yg @ self.S
+
+        out = syn[:, :self.N_s] + state.ola_tail[:, :self.N_s]
+        pad = self.N_d - self.N_s
+        carry = jnp.concatenate(
+            [state.ola_tail[:, self.N_s:],
+             jnp.zeros((x.shape[0], min(self.N_s, pad)))], axis=1) \
+            + syn[:, self.N_s:]
+        new_state = MHAStreamState(k_caches=kc, v_caches=vc, t=state.t + 1,
+                                   wav_tail=wav_tail, ola_tail=carry)
+        return new_state, out
+
+    def stream(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """Whole waveform via lax.scan over steps (parity harness)."""
         B, n = wav.shape
         T = n // self.N_s
         chunks = wav[:, :T * self.N_s].reshape(B, T, self.N_s)

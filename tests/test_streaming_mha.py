@@ -1,0 +1,77 @@
+"""Streaming MHANet (KV-cache causal attention, streaming.StreamingMHANet):
+the per-frame step must reproduce the offline fused pipeline exactly while
+t < max_len, for both MHANetV2 (no positional embedding) and MHANetV3."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepxi_tpu.enhance import make_enhancer
+from deepxi_tpu.inp_tgt import inp_tgt_selector
+from deepxi_tpu.models import network_selector
+from deepxi_tpu.streaming import StreamingMHANet
+
+
+@pytest.fixture(scope="module")
+def it():
+    it = inp_tgt_selector("MagXi", N_d=512, N_s=256, K=512, f_s=16000,
+                          map_type="DBNormalCDF", map_params=None)
+    sample = (np.abs(np.random.RandomState(0).randn(64, 257)) ** 2
+              ).astype(np.float32)
+    return it.replace(xi_map=it.xi_map.with_stats(jnp.asarray(sample)))
+
+
+def make_net(net_type):
+    kw = dict(d_model=32, n_blocks=2, n_heads=4, causal=True,
+              outp_act="Sigmoid")
+    if net_type == "MHANetV3":
+        kw["max_len"] = 64
+    net = network_selector(net_type, 257, **kw)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 257)))
+    return net, params
+
+
+@pytest.mark.parametrize("net_type", ["MHANetV2", "MHANetV3"])
+def test_matches_offline(it, net_type):
+    net, params = make_net(net_type)
+    rng = np.random.RandomState(1)
+    B, n = 2, 256 * 30   # 30 frames < max_len 64
+    x = (rng.randn(B, n) * 3000).astype(np.int16)
+
+    y_off = np.asarray(make_enhancer(it, net, "mmse-lsa")(params,
+                                                          jnp.asarray(x)))
+    sm = StreamingMHANet(it, net, params, "mmse-lsa")
+    y_str = np.asarray(sm.stream(jnp.asarray(x)))
+    T = n // 256
+    np.testing.assert_allclose(y_str, y_off[:, : T * 256], atol=1e-5)
+
+
+def test_step_by_step_equals_scan(it):
+    net, params = make_net("MHANetV3")
+    rng = np.random.RandomState(2)
+    B, n = 1, 256 * 10
+    x = (rng.randn(B, n) * 3000).astype(np.int16)
+    sm = StreamingMHANet(it, net, params, "mmse-lsa")
+    y1 = np.asarray(sm.stream(jnp.asarray(x)))
+
+    chunks = jnp.asarray(x).reshape(B, -1, 256)
+    state = sm.prime(sm.init_state(B), chunks[:, 0])
+    step = jax.jit(sm.step)
+    outs = []
+    for i in range(1, chunks.shape[1]):
+        state, y = step(state, chunks[:, i])
+        outs.append(np.asarray(y))
+    state, y = step(state, jnp.zeros((B, 256), jnp.int16))
+    outs.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1), y1, atol=1e-5)
+
+
+def test_rejects_non_mha(it):
+    net = network_selector("ResNetV2", 257, d_model=32, n_blocks=2, d_f=16,
+                           k=3, max_d_rate=2, causal=True,
+                           unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 257)))
+    with pytest.raises(ValueError, match="MHANetV2/V3"):
+        StreamingMHANet(it, net, params)
