@@ -214,9 +214,11 @@ class DeepXiTPU:
                     and cfg.causal and cfg.unit_type == "ReLU->LN->W+b"):
                 from deepxi_tpu.ops.kernels.tcn_fused_train import \
                     resnetv2_apply_fused_train
+                # save_acts: replay-free backward, ~10% faster fwd+bwd at
+                # both B=8 and B=32 on v5e (3.80->3.40 / 7.04->6.29 ms)
                 apply_fn = (lambda p, m: resnetv2_apply_fused_train(
                     p, m, n_blocks=cfg.n_blocks, max_d_rate=cfg.max_d_rate,
-                    k=cfg.k, outp_act=cfg.outp_act))
+                    k=cfg.k, save_acts=True, outp_act=cfg.outp_act))
             train_step = jax.jit(make_train_step(self.network, self.inp_tgt, tx,
                                                  cfg.loss_fnc, apply_fn=apply_fn),
                                  donate_argnums=(0,))

@@ -24,7 +24,7 @@ tests/test_tcn_fused_train.py.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -78,15 +78,75 @@ def _block_fwd(h, w1, b1, w2, b2, w3, b3, dil, k):
     return h + _dot(a3, w3) + b3
 
 
+def fused_block_group_whole_saved(x: jnp.ndarray,
+                                  weights: Sequence[BlockWeights],
+                                  dilations: Sequence[int], k: int = 3,
+                                  interpret: bool | None = None):
+    """`fused_block_group_whole` that ALSO emits each block's input
+    activations [B, G, T, C] for a replay-free backward
+    (fused_block_group_bwd(saved_h=...))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    B, T, C = x.shape
+    G = len(weights)
+    Tpad = -(-T // 8) * 8
+    if Tpad != T:
+        x = jnp.pad(x, ((0, 0), (0, Tpad - T), (0, 0)))
+
+    def kernel(x_ref, *refs):
+        w_refs, o_ref, hs_ref = refs[:-2], refs[-2], refs[-1]
+        h = x_ref[0]
+        for g in range(G):
+            hs_ref[0, g] = h
+            w1, b1, w2, b2, w3, b3 = w_refs[6 * g: 6 * g + 6]
+            h = _block_fwd(h, w1[...][0], b1[...][0], w2[...], b2[...][0],
+                           w3[...][0], b3[...][0], dilations[g], k)
+        o_ref[0] = h
+
+    w_specs, w_args = [], []
+    for bw in weights:
+        for arr in bw:
+            if arr.ndim == 1:
+                arr = arr[None, :]
+            w_specs.append(pl.BlockSpec(
+                arr.shape, lambda b, n=arr.ndim: (0,) * n,
+                memory_space=pltpu.VMEM))
+            w_args.append(arr)
+
+    out, hs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, Tpad, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM), *w_specs],
+        out_specs=(pl.BlockSpec((1, Tpad, C), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, G, Tpad, C), lambda b: (b, 0, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((B, Tpad, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, G, Tpad, C), jnp.float32)),
+        interpret=interpret,
+    )(x, *w_args)
+    return out[:, :T], hs[:, :, :T]
+
+
 def fused_block_group_bwd(h0: jnp.ndarray, dout: jnp.ndarray,
                           weights: Sequence[BlockWeights],
                           dilations: Sequence[int], k: int = 3,
+                          saved_h: Optional[jnp.ndarray] = None,
                           interpret: bool | None = None):
     """Backward of `fused_block_group_whole`.
 
     Args:
       h0: [B, T, C] the GROUP's input activations (the saved checkpoint).
       dout: [B, T, C] gradient w.r.t. the group output.
+      saved_h: optional [B, G, T, C] per-block inputs recorded by
+        `fused_block_group_whole_saved` -- skips the in-kernel forward
+        replay (trades one HBM round-trip of the activations for ~1/3 of
+        the backward FLOPs).
     Returns:
       (dh0 [B, T, C], list[BlockWeights] gradients, batch-summed).
     """
@@ -102,13 +162,24 @@ def fused_block_group_bwd(h0: jnp.ndarray, dout: jnp.ndarray,
     if Tpad != T:
         h0 = jnp.pad(h0, ((0, 0), (0, Tpad - T), (0, 0)))
         dout = jnp.pad(dout, ((0, 0), (0, Tpad - T), (0, 0)))
+        if saved_h is not None:
+            saved_h = jnp.pad(saved_h,
+                              ((0, 0), (0, 0), (0, Tpad - T), (0, 0)))
     d_f = weights[0].b1.shape[-1]
+    use_saved = saved_h is not None
 
     def kernel(h0_ref, g_ref, *refs):
+        # arg order: inputs (h0, dout, weights, [saved_h]), outputs
+        # (dh, dweights), scratch ([hs])
         w_refs = refs[:6 * G]
-        dh_ref = refs[6 * G]
-        dw_refs = refs[6 * G + 1: 6 * G + 1 + 6 * G]
-        hs = refs[-1]  # VMEM scratch [G, Tpad, C]
+        if use_saved:
+            hs = refs[6 * G]                     # [1, G, Tpad, C] input
+            dh_ref = refs[6 * G + 1]
+            dw_refs = refs[6 * G + 2: 6 * G + 2 + 6 * G]
+        else:
+            dh_ref = refs[6 * G]
+            dw_refs = refs[6 * G + 1: 6 * G + 1 + 6 * G]
+            hs = refs[-1]                        # VMEM scratch [G, Tpad, C]
         b = pl.program_id(0)
         W = Tpad
 
@@ -117,12 +188,13 @@ def fused_block_group_bwd(h0: jnp.ndarray, dout: jnp.ndarray,
             return (w1[...][0], b1[...][0], w2[...], b2[...][0],
                     w3[...][0], b3[...][0])
 
-        # pass 1: replay the group forward, stashing each block's input
-        h = h0_ref[0]
-        for g in range(G):
-            hs[g] = h
-            w1, b1, w2, b2, w3, b3 = wts(g)
-            h = _block_fwd(h, w1, b1, w2, b2, w3, b3, dilations[g], k)
+        if not use_saved:
+            # pass 1: replay the group forward, stashing each block's input
+            h = h0_ref[0]
+            for g in range(G):
+                hs[g] = h
+                w1, b1, w2, b2, w3, b3 = wts(g)
+                h = _block_fwd(h, w1, b1, w2, b2, w3, b3, dilations[g], k)
 
         # pass 2: reverse walk; recompute intra-block intermediates from the
         # stashed inputs and accumulate weight grads over the batch grid
@@ -136,7 +208,7 @@ def fused_block_group_bwd(h0: jnp.ndarray, dout: jnp.ndarray,
             w1, b1, w2, b2, w3, b3 = wts(g)
             dil = dilations[g]
             r = (k - 1) * dil
-            h = hs[g]
+            h = hs[0, g] if use_saved else hs[g]
             z0 = jax.nn.relu(h)
             a = _ln(z0)
             u1 = _dot(a, w1) + b1
@@ -189,16 +261,26 @@ def fused_block_group_bwd(h0: jnp.ndarray, dout: jnp.ndarray,
 
     io_spec = pl.BlockSpec((1, Tpad, C), lambda b: (b, 0, 0),
                            memory_space=pltpu.VMEM)
+    if use_saved:
+        # the recorded activations ride in as the LAST input (the kernel's
+        # `hs`), one [1, G, Tpad, C] block per grid cell; no scratch
+        extra_in = [saved_h]
+        extra_specs = [pl.BlockSpec((1, G, Tpad, C), lambda b: (b, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)]
+        scratch = []
+    else:
+        extra_in, extra_specs = [], []
+        scratch = [pltpu.VMEM((G, Tpad, C), jnp.float32)]
     dh, *dws = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[io_spec, io_spec, *w_specs],
+        in_specs=[io_spec, io_spec, *w_specs, *extra_specs],
         out_specs=(io_spec, *dw_specs),
         out_shape=(jax.ShapeDtypeStruct((B, Tpad, C), jnp.float32),
                    *dw_shapes),
-        scratch_shapes=[pltpu.VMEM((G, Tpad, C), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(h0, dout, *w_args)
+    )(h0, dout, *w_args, *extra_in)
 
     dweights = []
     for g in range(G):
@@ -214,7 +296,6 @@ def fused_block_group_bwd(h0: jnp.ndarray, dout: jnp.ndarray,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _stack(static: Tuple, h: jnp.ndarray, flat: Tuple[jnp.ndarray, ...]):
-    dilations, k, group = static
     return _stack_fwd(static, h, flat)[0]
 
 
@@ -224,20 +305,25 @@ def _groups(n_blocks: int, group: int):
 
 
 def _stack_fwd(static, h, flat):
-    dilations, k, group = static
+    dilations, k, group, save_acts = static
     n_blocks = len(dilations)
     weights = [BlockWeights(*flat[6 * i: 6 * i + 6]) for i in range(n_blocks)]
-    checkpoints = []
+    checkpoints, saved = [], []
     for idx in _groups(n_blocks, group):
         checkpoints.append(h)
-        h = fused_block_group_whole(h, [weights[i] for i in idx],
-                                    [dilations[i] for i in idx], k=k)
-    return h, (tuple(checkpoints), flat)
+        gw = [weights[i] for i in idx]
+        gd = [dilations[i] for i in idx]
+        if save_acts:
+            h, hs = fused_block_group_whole_saved(h, gw, gd, k=k)
+            saved.append(hs)
+        else:
+            h = fused_block_group_whole(h, gw, gd, k=k)
+    return h, (tuple(checkpoints), tuple(saved), flat)
 
 
 def _stack_bwd(static, res, dout):
-    dilations, k, group = static
-    checkpoints, flat = res
+    dilations, k, group, save_acts = static
+    checkpoints, saved, flat = res
     n_blocks = len(dilations)
     weights = [BlockWeights(*flat[6 * i: 6 * i + 6]) for i in range(n_blocks)]
     gs = _groups(n_blocks, group)
@@ -247,7 +333,8 @@ def _stack_bwd(static, res, dout):
         idx = list(gs[gi])
         d, dws = fused_block_group_bwd(
             checkpoints[gi], d, [weights[i] for i in idx],
-            [dilations[i] for i in idx], k=k)
+            [dilations[i] for i in idx], k=k,
+            saved_h=saved[gi] if save_acts else None)
         for i, dw in zip(idx, dws):
             for j, arr in enumerate(dw):
                 dflat[6 * i + j] = arr
@@ -259,7 +346,7 @@ _stack.defvjp(_stack_fwd, _stack_bwd)
 
 def resnetv2_apply_fused_train(params, x: jnp.ndarray, n_blocks: int = 40,
                                max_d_rate: int = 16, k: int = 3,
-                               group: int = 10,
+                               group: int = 10, save_acts: bool = False,
                                outp_act: str = "Sigmoid") -> jnp.ndarray:
     """Differentiable ResNetV2 forward with the block stack running through
     the fused Pallas forward/backward pair. Drop-in for `network.apply`
@@ -267,7 +354,10 @@ def resnetv2_apply_fused_train(params, x: jnp.ndarray, n_blocks: int = 40,
 
     `group` bounds the backward kernel's VMEM scratch (group * T * d_model
     floats of stashed block inputs); 10 fits the training buckets
-    (T <= 640) comfortably.
+    (T <= 640) comfortably. `save_acts=True` records every block's input
+    in the forward and skips the backward's replay pass -- trades an HBM
+    round-trip of n_blocks x [B, T, C] activations for ~1/3 of the
+    backward FLOPs (use at larger batch where compute dominates).
     """
     p = params["params"]
     h = _dot(x, p["ff_conv"]["kernel"][0]) + p["ff_conv"]["bias"]
@@ -282,7 +372,7 @@ def resnetv2_apply_fused_train(params, x: jnp.ndarray, n_blocks: int = 40,
         bp = p[f"block{i}_u1_conv"], p[f"block{i}_u2_conv"], p[f"block{i}_u3_conv"]
         flat += [bp[0]["kernel"], bp[0]["bias"], bp[1]["kernel"],
                  bp[1]["bias"], bp[2]["kernel"], bp[2]["bias"]]
-    h = _stack((dilations, k, group), h, tuple(flat))
+    h = _stack((dilations, k, group, save_acts), h, tuple(flat))
 
     out = _dot(h, p["out_conv"]["kernel"][0]) + p["out_conv"]["bias"]
     return output_activation(out, outp_act)

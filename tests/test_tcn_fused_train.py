@@ -39,8 +39,16 @@ def test_forward_matches(setup):
                                np.asarray(net.apply(params, x)), atol=1e-5)
 
 
-def test_gradients_match_flax(setup):
+@pytest.mark.parametrize("save_acts", [False, True])
+def test_gradients_match_flax(setup, save_acts):
+    """Both backward strategies (in-kernel forward replay, and replay-free
+    via activations recorded by the saving forward) match jax.grad."""
     net, params, x, tgt = setup
+
+    def fused(p, m):
+        return resnetv2_apply_fused_train(p, m, n_blocks=N_BLOCKS,
+                                          max_d_rate=MAX_D, k=K, group=2,
+                                          save_acts=save_acts)
 
     def loss(apply_fn):
         def f(p):
@@ -49,7 +57,7 @@ def test_gradients_match_flax(setup):
         return f
 
     l_ref, g_ref = jax.value_and_grad(loss(net.apply))(params)
-    l_fus, g_fus = jax.value_and_grad(loss(fused_apply))(params)
+    l_fus, g_fus = jax.value_and_grad(loss(fused))(params)
     np.testing.assert_allclose(float(l_fus), float(l_ref), atol=1e-6)
 
     flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
