@@ -111,13 +111,11 @@ def bench_train_step(B=8, seconds=4.096, fused=False):
     """Fused train-step throughput (mix+STFT+targets+fwd+bwd+Adam in one
     jit) on the flagship topology: steps/s and audio-seconds/s. With
     fused=True the forward/backward run through the custom-VJP Pallas TCN
-    (ops/kernels/tcn_fused_train.py). Measured on v5e: B=8 std 82.9 /
-    fused 117.0 steps/s (1.41x at the preset's own mbatch_size; the step is
-    latency-bound and the kernel collapses ~250 ops into 8 pallas calls);
-    B=32 std 78.1 / fused 68.1 steps/s -- isolated fwd+bwd is still
-    slightly faster fused (7.0 vs 7.5 ms) but XLA overlaps its own conv
-    backward with the rest of the step better, so the flag pays off at
-    small/medium batch only."""
+    (ops/kernels/tcn_fused_train.py). Measured on v5e (interleaved A/B,
+    3 reps -- single runs swing +-30% with this environment's dispatch
+    jitter): B=8 fused wins every rep, median 69.8 -> 75.4 steps/s
+    (~1.08x full step); isolated fwd+bwd with save_acts is 3.40 vs
+    3.80 ms at B=8 and 6.29 vs 7.53 ms at B=32 (1.12-1.20x)."""
     from deepxi_tpu.models import network_selector
     from deepxi_tpu.training import TrainState, make_optimizer, make_train_step
 
@@ -134,7 +132,7 @@ def bench_train_step(B=8, seconds=4.096, fused=False):
         from deepxi_tpu.ops.kernels.tcn_fused_train import \
             resnetv2_apply_fused_train
         apply_fn = lambda p, m: resnetv2_apply_fused_train(
-            p, m, n_blocks=40, max_d_rate=16)
+            p, m, n_blocks=40, max_d_rate=16, save_acts=True)
     step = jax.jit(make_train_step(net, it, tx, apply_fn=apply_fn))
     rng = np.random.RandomState(2)
     s = jax.device_put(jnp.asarray((rng.randn(B, n) * 3000).astype(np.int16)))
