@@ -748,6 +748,21 @@ class DeepXiTPU:
             data, key = (xi_sub > 1.0).astype(bool), "subband_ibm_hat"
         elif out_type == "cd_hat":
             data, key = np.asarray(self._jitted("cd_hat", it.cd_hat)(tgt_hat)), "cd_hat"
+        elif out_type == "pho":
+            # Phoneme-posterior dump (ref: deepxi/model.py:334-427
+            # infer_pho): the fork writes only the argmax token per frame
+            # to a hard-coded label dir; here the full [T, n_pho] posterior
+            # matrix lands in out_dir as .mat, plus the reference's
+            # one-token-per-line CSV when a lexicon is configured.
+            post = np.asarray(tgt_hat)
+            if cfg.lexicon_path:
+                from deepxi_tpu.dsp.phoneme import Phoneme
+                mapper = Phoneme(cfg.lexicon_path)
+                idx = post.argmax(axis=-1)
+                with open(os.path.join(out_dir, name + ".csv"), "w") as f:
+                    for i in idx:
+                        f.write(mapper.tkn_dict.index2Entry[int(i)] + "\n")
+            data, key = post, "pho_post"
         elif out_type == "d_hat":
             # noise waveform estimate via the DeepMMSE noise PSD
             # (documented but unimplemented in the reference,
@@ -805,7 +820,17 @@ class DeepXiTPU:
                 ys = self._enhance_all(p, x_batch, x_lens, x_names, g)
                 pairs, conds = [], []
                 for i, name in enumerate(x_names):
-                    ref_idx = next(j for j, b in enumerate(s_names) if b in name)
+                    # Graceful skip on an unmatched noisy file: the
+                    # reference's basename-substring match (ref:
+                    # deepxi/model.py:1842-1843) raises StopIteration on
+                    # one malformed filename and kills the whole scoring
+                    # pass; here it degrades to a warning.
+                    ref_idx = next(
+                        (j for j, b in enumerate(s_names) if b in name), None)
+                    if ref_idx is None:
+                        print(f"WARNING: no clean reference matches "
+                              f"{name!r}; skipping", flush=True)
+                        continue
                     s = s_batch[ref_idx, :s_lens[ref_idx]].astype(np.float32) / 32768.0
                     pairs.append((s, ys[i][: len(s)]))
                     # condition parsing "<clean>_<noise>_<snr>dB"

@@ -26,11 +26,13 @@ def score_utterance(s: np.ndarray, y: np.ndarray, fs: int) -> Dict[str, float]:
     from deepxi_tpu.metrics.pesq import pesq
 
     out: Dict[str, float] = {}
-    try:
-        out["STOI"] = 100.0 * stoi(s, y, fs, extended=False)
-        out["eSTOI"] = 100.0 * stoi(s, y, fs, extended=True)
-    except ValueError:
-        pass  # utterance too short for STOI
+    for key, extended in (("STOI", False), ("eSTOI", True)):
+        try:
+            out[key] = 100.0 * stoi(s, y, fs, extended=extended)
+        except ValueError as exc:  # utterance too short for STOI framing
+            import warnings
+            warnings.warn(f"{key} unavailable for a {len(s)}-sample "
+                          f"utterance: {exc}")
     pesq_nb = pesq(s, y, fs, mode="nb")
     out["MOS-LQO"] = pesq(s, y, fs, mode="wb")
     comp = composite(s, y, fs, pesq_mos=pesq_nb)

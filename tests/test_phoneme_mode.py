@@ -1,5 +1,7 @@
 """MagPhonemes family + alignment label utilities tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -207,6 +209,19 @@ class TestPhonemeTraining:
         assert post.shape[-1] == n_pho
         y = it.enhanced_speech(mag, pha, post, "mixmax")
         assert np.isfinite(np.asarray(y)).all()
+
+        # --out_type pho posterior dump (ref: deepxi/model.py:334-427):
+        # full posterior .mat plus the reference's one-token-per-line CSV
+        written = dx.infer(out_type="pho", epochs=[2],
+                           test_x_path=str(wav_dir))
+        assert len(written) == 4
+        from scipy.io import loadmat
+        mat = loadmat(written[0])["pho_post"]
+        assert mat.shape[-1] == n_pho
+        csv_path = written[0][:-len(".mat")] + ".csv"
+        assert os.path.exists(csv_path)
+        tokens = open(csv_path).read().split()
+        assert len(tokens) == mat.shape[0]
 
     def test_framework_rejects_unlabelled_list(self, tmp_path):
         from deepxi_tpu.config import Config

@@ -28,22 +28,22 @@ def score_noisy_baseline(cfg):
     """Composite scores of the unprocessed noisy test set (the 'Noisy
     speech' row of BASELINE.md's tables)."""
     from deepxi_tpu.data import test_batch
-    from deepxi_tpu.metrics import composite
-    from deepxi_tpu.metrics import stoi as stoi_fn
-    from deepxi_tpu.metrics.pesq import pesq as pesq_fn
+    from deepxi_tpu.metrics.scoring import score_many
 
     x_batch, x_lens, _, x_names = test_batch(cfg.test_x_path)
     s_batch, s_lens, _, s_names = test_batch(cfg.test_s_path)
-    acc = {}
+    pairs = []
     for i, name in enumerate(x_names):
-        ref_idx = next(j for j, b in enumerate(s_names) if b in name)
+        ref_idx = next((j for j, b in enumerate(s_names) if b in name), None)
+        if ref_idx is None:
+            print(f"WARNING: no clean reference matches {name!r}; skipping",
+                  flush=True)
+            continue
         s = s_batch[ref_idx, :s_lens[ref_idx]].astype(np.float64) / 32768.0
-        x = x_batch[i, : len(s)].astype(np.float64) / 32768.0
-        pesq_nb = pesq_fn(s, x, cfg.f_s, mode="nb")
-        comp = composite(s, x, cfg.f_s, pesq_mos=pesq_nb)
-        comp["STOI"] = 100.0 * stoi_fn(s, x, cfg.f_s)
-        comp["MOS-LQO"] = pesq_fn(s, x, cfg.f_s, mode="wb")
-        for k, v in comp.items():
+        pairs.append((s, x_batch[i, : len(s)].astype(np.float64) / 32768.0))
+    acc = {}
+    for sc in score_many(pairs, cfg.f_s):
+        for k, v in sc.items():
             acc.setdefault(k, []).append(v)
     return {k: float(np.mean(v)) for k, v in acc.items()}
 
