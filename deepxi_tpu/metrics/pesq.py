@@ -11,14 +11,13 @@ with deadzone masking and asymmetry weighting, L2/L6 syllable-time
 aggregation, and bad-interval realignment. Constants come from the published
 standard tables (deepxi_tpu/metrics/_pesq_tables.py).
 
-SIMPLIFICATION (documented): P.862's utterance-splitting time alignment
-(per-utterance piecewise delays) is replaced by a WHOLE-SIGNAL alignment:
-a crude 4 ms-granule log-energy cross-correlation followed by a +/-1-granule
-waveform refinement (so any constant delay between degraded and reference is
-corrected -- bounded by tests in tests/test_pesq.py), while signals whose
-delay *changes mid-signal* are handled only by the retained bad-interval
-local realignment. Exact for speech-enhancement evaluation, where the
-degraded signal is sample-aligned by construction.
+Time alignment implements the full P.862 pipeline (deepxi_tpu/metrics/
+_pesq_align.py): energy VAD, whole-signal crude alignment on logVAD
+envelopes, per-utterance crude + histogram fine alignment, utterance
+boundary identification, and recursive utterance SPLITTING so delays that
+change mid-signal are tracked piecewise (ref: pesq.m utterance_locate /
+split_align); the psychoacoustic model reads the degraded signal through
+the per-utterance delay map and keeps the bad-interval realignment.
 
 Modes:
   * ``nb``      -> raw P.862 PESQ MOS (what the reference's PESQ column is)
@@ -34,6 +33,7 @@ from typing import Tuple
 import numpy as np
 from scipy.signal import resample_poly, sosfilt
 
+from deepxi_tpu.metrics import _pesq_align as A
 from deepxi_tpu.metrics import _pesq_tables as T
 
 DATAPADDING_MSECS = 320
@@ -70,12 +70,13 @@ class _Cfg:
         self.width_bark = np.asarray(getattr(T, f"width_of_band_bark_{sfx}"))
         self.pow_corr = np.asarray(getattr(T, f"pow_dens_correction_factor_{sfx}"))
         self.abs_thresh = np.asarray(getattr(T, f"abs_thresh_power_{sfx}"))
-        # NOTE: the standard's input_filter (DC block + InIIR_Hsos IIR)
-        # preprocesses signals for the VAD/alignment stage ONLY -- the
-        # psychoacoustic model consumes the IRS-filtered signals (the MATLAB
-        # reference restores model_ref/model_deg before the model). With the
-        # zero-delay alignment simplification that stage has no consumer, so
-        # InIIR_Hsos is deliberately unused here.
+        self.align_nfft = int(getattr(T, f"Align_Nfft_{sfx}"))
+        # the standard's input_filter (DC block + InIIR_Hsos IIR) feeds the
+        # VAD/alignment stage; the psychoacoustic model consumes the
+        # IRS/WB-filtered signals (pesq.m restores model_ref/model_deg)
+        iir = np.asarray(getattr(T, f"InIIR_Hsos_{sfx}")).reshape(-1, 5)
+        self.in_sos = np.concatenate(
+            [iir[:, :3], np.ones((len(iir), 1)), iir[:, 3:]], axis=1)
         if fs == 16000:
             wb = np.asarray(T.WB_InIIR_Hsos_16k).reshape(-1, 5)
             self.wb_sos = np.concatenate(
@@ -118,8 +119,8 @@ def _fix_power_level(data: np.ndarray, n: int, max_n: int, cfg: _Cfg) -> np.ndar
 
 
 def _freq_warp(hz_spectrum: np.ndarray, cfg: _Cfg) -> np.ndarray:
-    """Hz power spectrum [Nf/2] -> Bark pitch power densities [Nb]."""
-    sums = np.add.reduceat(hz_spectrum, cfg.band_starts)
+    """Hz power spectra [..., Nf/2] -> Bark pitch power densities [..., Nb]."""
+    sums = np.add.reduceat(hz_spectrum, cfg.band_starts, axis=-1)
     return sums * cfg.pow_corr * cfg.Sp
 
 
@@ -179,9 +180,13 @@ def _lpq_weight(start: int, stop: int, p_syl: float, p_t: float,
     return (num / den) ** (1.0 / p_t)
 
 
-def _frame_disturbances(ppd_ref, ppd_deg, cfg
+def _frame_disturbances(ppd_ref, ppd_deg, cfg, blend_first: bool = False
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Scale-tracked disturbance computation (frames already warped).
+
+    blend_first: the bad-interval recompute restarts the scale chain at
+    oldScale=1 but still blends the first frame when its global frame
+    number is > 0 (ref: pesq.m:1352-1360).
 
     Returns (frame_disturbance, frame_disturbance_asym, total_power_ref)."""
     Tn = ppd_ref.shape[0]
@@ -192,7 +197,7 @@ def _frame_disturbances(ppd_ref, ppd_deg, cfg
     old = 1.0
     for t in range(Tn):
         s = (tap_ref[t] + 5e3) / (tap_deg[t] + 5e3)
-        if t > 0:
+        if t > 0 or blend_first:
             s = 0.2 * old + 0.8 * s
         old = s
         scales[t] = min(max(s, 3e-4), 5.0)
@@ -207,10 +212,15 @@ def _frame_disturbances(ppd_ref, ppd_deg, cfg
     return fd, fda, tap_ref
 
 
-def _psychoacoustic_model(ref: np.ndarray, deg: np.ndarray, n: int,
-                          cfg: _Cfg) -> float:
-    max_n = n
+def _psychoacoustic_model(ref: np.ndarray, deg: np.ndarray, ref_ns: int,
+                          deg_ns: int, st, cfg: _Cfg) -> float:
+    """P.862 psychoacoustic model reading the degraded signal through the
+    per-utterance delay map `st` (ref: pesq.m:785-1478). `ref`/`deg` are
+    the IRS/WB-filtered signals zero-extended to max_n + pad samples."""
+    max_n = max(ref_ns, deg_ns)
     Nf, sb, pad = cfg.Nf, cfg.sb, cfg.pad
+    Nf2 = Nf // 2
+    D = cfg.downsample
 
     # skip leading/trailing silence (5-sample |sum| < 500)
     abs_ref = np.abs(ref)
@@ -222,28 +232,42 @@ def _psychoacoustic_model(ref: np.ndarray, deg: np.ndarray, n: int,
     nz = np.nonzero(c5e >= 500)[0]
     skip_end = int(len(c5e) - 1 - nz[-1]) if len(nz) else 0
 
-    start_frame = skip_start // (Nf // 2)
-    stop_frame = (max_n - 2 * sb + pad - skip_end) // (Nf // 2) - 1
+    start_frame = skip_start // Nf2
+    stop_frame = (max_n - 2 * sb + pad - skip_end) // Nf2 - 1
     Tn = stop_frame + 1
 
-    # short-term FFT power spectra for both signals, all frames at once
     win = 0.5 * (1.0 - np.cos(2 * np.pi * np.arange(Nf) / Nf))
-    starts = sb + np.arange(Tn) * (Nf // 2)
-    idx = starts[:, None] + np.arange(Nf)[None, :]
-    fr_ref = ref[idx] * win
-    fr_deg = deg[idx] * win
-    hz_ref = np.abs(np.fft.fft(fr_ref, axis=1)[:, :Nf // 2]) ** 2
-    hz_deg = np.abs(np.fft.fft(fr_deg, axis=1)[:, :Nf // 2]) ** 2
-    hz_ref[:, 0] = 0.0
-    hz_deg[:, 0] = 0.0
 
-    ppd_ref = np.stack([_freq_warp(h, cfg) for h in hz_ref])
-    ppd_deg = np.stack([_freq_warp(h, cfg) for h in hz_deg])
+    # reference frames, all at once
+    starts = sb + np.arange(Tn) * Nf2
+    idx = starts[:, None] + np.arange(Nf)[None, :]
+    hz_ref = np.abs(np.fft.fft(ref[idx] * win, axis=1)[:, :Nf2]) ** 2
+    hz_ref[:, 0] = 0.0
+
+    # degraded frames through the per-utterance delay map
+    # (ref: pesq.m:908-930): frame -> last utterance whose start sample
+    # precedes it -> that utterance's delay
+    nutt = max(1, st.nutt)
+    utt_start_smp = (st.utt_start[1:nutt + 1] - 1) * D + 1  # 1-based
+    delays = st.utt_delay[1:nutt + 1]
+    ssr1 = 1 + sb + np.arange(Tn) * Nf2                     # 1-based
+    u = np.searchsorted(utt_start_smp, ssr1, side="right") - 1
+    frame_delay = delays[np.clip(u, 0, nutt - 1)]
+    ssd1 = ssr1 + frame_delay
+    valid = (ssd1 > 0) & (ssd1 + Nf - 1 < max_n + pad)
+    deg_idx = (np.clip(ssd1, 1, max_n + pad - Nf + 1) - 1)[:, None] \
+        + np.arange(Nf)[None, :]
+    hz_deg = np.abs(np.fft.fft(deg[deg_idx] * win, axis=1)[:, :Nf2]) ** 2
+    hz_deg[:, 0] = 0.0
+    hz_deg[~valid] = 0.0
+
+    ppd_ref = _freq_warp(hz_ref, cfg)
+    ppd_deg = _freq_warp(hz_deg, cfg)
 
     silent = _total_audible(ppd_ref, cfg, 1e2) < 1e7
 
     # time-averaged audible densities -> partial frequency compensation of ref
-    total_frames = (max_n - 2 * sb + pad) // (Nf // 2) - 1
+    total_frames = (max_n - 2 * sb + pad) // Nf2 - 1
     mask = (~silent)[:, None] & (ppd_ref > 100.0 * cfg.abs_thresh)
     avg_ref = np.sum(np.where(mask, ppd_ref, 0.0), axis=0) / total_frames
     mask_d = (~silent)[:, None] & (ppd_deg > 100.0 * cfg.abs_thresh)
@@ -253,63 +277,102 @@ def _psychoacoustic_model(ref: np.ndarray, deg: np.ndarray, n: int,
 
     fd, fda, tp_ref = _frame_disturbances(ppd_ref, ppd_deg, cfg)
 
-    # bad-interval local realignment: where disturbance > 30, search a local
-    # delay that minimises it (kept from P.862; delays come from correlation)
     THRESH = 30.0
-    if np.any(fd > THRESH):
+    there_is_a_bad_frame = bool(np.any(fd > THRESH))
+
+    # frames straddling a large negative delay jump are skipped entirely
+    # (ref: pesq.m:1112-1140)
+    for utt in range(2, st.nutt + 1):
+        frame1 = int((st.utt_start[utt] - 1 - SEARCHBUFFER) * D + 1
+                     + st.utt_delay[utt]) // Nf2
+        j = int((st.utt_end[utt - 1] - 1 - SEARCHBUFFER) * D + 1
+                + st.utt_delay[utt - 1]) // Nf2
+        delay_jump = int(st.utt_delay[utt] - st.utt_delay[utt - 1])
+        frame1 = max(min(frame1, j), 0)
+        if delay_jump < -Nf2:
+            frame2 = int((st.utt_start[utt] - 1 - SEARCHBUFFER) * D + 1
+                         + max(0, abs(delay_jump))) // Nf2 + 1
+            for fr in range(frame1, frame2 + 1):
+                if fr < stop_frame:
+                    fd[fr] = 0.0
+                    fda[fr] = 0.0
+
+    # degraded signal re-read through the delay map, per sample
+    # (ref: pesq.m:1142-1167)
+    nn = max_n + pad
+    tweaked = np.zeros(nn)
+    i1 = np.arange(sb + 1, nn - sb + 1)
+    starts0 = (st.utt_start[1:nutt + 1] - 1) * D
+    ut = np.searchsorted(starts0, i1, side="right") - 1
+    dly = delays[np.clip(ut, 0, nutt - 1)]
+    j1 = np.clip(i1 + dly, sb + 1, nn - sb)
+    tweaked[i1 - 1] = deg[j1 - 1]
+
+    # bad-interval local realignment (ref: pesq.m:1169-1407)
+    if there_is_a_bad_frame:
         bad = fd > THRESH
         bad[0] = False
-        # P.862 initialises the smeared flags to all-false; frames outside
-        # the smear loop's range must not survive as bad
         smear = np.zeros_like(bad)
         for t in range(2, Tn - 3):
             smear[t] = min(bad[max(t - 2, 0):t + 1].max(),
                            bad[t:t + 3].max())
-        # contiguous bad intervals of >= 5 frames
+        # contiguous bad intervals of >= 5 frames, fully inside the range
         t = 0
         intervals = []
         while t <= stop_frame:
             while t <= stop_frame and not smear[t]:
                 t += 1
-            f0 = t
-            while t <= stop_frame and smear[t]:
-                t += 1
-            if t - f0 >= 5:
-                intervals.append((f0, t))
-        nn = max_n + pad
+            if t <= stop_frame:
+                f0 = t
+                while t <= stop_frame and smear[t]:
+                    t += 1
+                if t <= stop_frame and t - f0 >= 5:
+                    intervals.append((f0, t))
+
+        sr = 4 * Nf  # SEARCH_RANGE_IN_TRANSFORM_LENGTH * Nf
+        interval_delays = []
         for f0, f1 in intervals:
-            s0 = sb + f0 * (Nf // 2)
-            s1 = min(sb + f1 * (Nf // 2) + Nf, nn - sb)
-            sr = 4 * Nf  # SEARCH_RANGE_IN_TRANSFORM_LENGTH * Nf
-            seg_r = np.abs(ref[s0:s1])
-            lo, hi = max(s0 - sr, 0), min(s1 + sr, nn)
-            seg_d = np.abs(deg[lo:hi])
-            if np.sum(seg_r ** 2) < 1e-6 or np.sum(seg_d ** 2) < 1e-6:
-                continue
-            corr = np.correlate(seg_d, seg_r, mode="valid")
-            norm = math.sqrt(np.mean(seg_r ** 2) * np.mean(seg_d ** 2)) * len(seg_r)
-            k = int(np.argmax(np.abs(corr)))
-            best = float(np.abs(corr[k])) / max(norm, 1e-12)
-            delay = (lo + k) - s0
-            if best < 0.5:
+            ss1 = f0 * Nf2 + sb + 1          # 1-based sample bounds
+            es1 = f1 * Nf2 + Nf + sb
+            nsamp = es1 - ss1 + 1
+            ref_seg = np.zeros(2 * sr + nsamp)
+            ref_seg[sr:sr + nsamp] = ref[ss1:ss1 + nsamp]
+            j_idx = ss1 - sr + np.arange(2 * sr + nsamp)
+            j_idx = np.clip(j_idx, sb + 1, max_n - sb + pad)
+            deg_seg = tweaked[j_idx - 1]
+            delay, best_corr = A.compute_delay(1, 2 * sr + nsamp, sr,
+                                               ref_seg, deg_seg)
+            if best_corr < 0.5:
                 delay = 0
-            if delay == 0:
-                continue
-            # recompute the interval's disturbances with the delayed degraded
-            starts_i = sb + np.arange(f0, f1) * (Nf // 2) + delay
-            starts_i = np.clip(starts_i, 0, nn - Nf)
-            idx_i = starts_i[:, None] + np.arange(Nf)[None, :]
-            hz_d = np.abs(np.fft.fft(deg[idx_i] * win, axis=1)[:, :Nf // 2]) ** 2
-            hz_d[:, 0] = 0.0
-            ppd_d = np.stack([_freq_warp(h, cfg) for h in hz_d])
-            fd_i, fda_i, _ = _frame_disturbances(ppd_ref[f0:f1], ppd_d, cfg)
-            fd[f0:f1] = np.minimum(fd[f0:f1], fd_i)
-            fda[f0:f1] = np.minimum(fda[f0:f1], fda_i)
+            interval_delays.append(delay)
+
+        if intervals:
+            doubly = tweaked.copy()
+            for (f0, f1), dl in zip(intervals, interval_delays):
+                ss1 = f0 * Nf2 + sb + 1
+                es1 = f1 * Nf2 + Nf + sb
+                i_idx = np.arange(ss1, es1 + 1)
+                j_idx = np.clip(i_idx + dl, 1, max_n)
+                doubly[i_idx - 1] = tweaked[j_idx - 1]
+
+            for f0, f1 in intervals:
+                frames_i = np.arange(f0, f1)
+                starts_i = sb + frames_i * Nf2
+                idx_i = starts_i[:, None] + np.arange(Nf)[None, :]
+                hz_d = np.abs(np.fft.fft(doubly[idx_i] * win,
+                                         axis=1)[:, :Nf2]) ** 2
+                hz_d[:, 0] = 0.0
+                ppd_d = _freq_warp(hz_d, cfg)
+                ppd_deg[frames_i] = ppd_d
+                fd_i, fda_i, _ = _frame_disturbances(
+                    ppd_ref[f0:f1], ppd_d, cfg, blend_first=f0 > 0)
+                fd[f0:f1] = np.minimum(fd[f0:f1], fd_i)
+                fda[f0:f1] = np.minimum(fda[f0:f1], fda_i)
 
     # time weighting for very long signals
     time_weight = np.ones(Tn)
     if Tn > 1000:
-        nfr = (max_n - 2 * sb) // (Nf // 2) - 1
+        nfr = (max_n - 2 * sb) // Nf2 - 1
         twf = min((nfr - 1000) / 5500.0, 0.5)
         time_weight = (1.0 - twf) + twf * np.arange(Tn) / nfr
 
@@ -324,69 +387,13 @@ def _psychoacoustic_model(ref: np.ndarray, deg: np.ndarray, n: int,
     return 4.5 - 0.1 * d_ind - 0.0309 * a_ind
 
 
-def _estimate_delay(ref: np.ndarray, deg: np.ndarray, granule: int) -> int:
-    """Whole-signal delay of `deg` relative to `ref` in samples.
-
-    Crude stage: cross-correlate mean-removed log energies over
-    4 ms granules (the granularity of P.862's crude alignment). Fine stage:
-    waveform cross-correlation restricted to +/- one granule around the
-    crude estimate. Returns 0 when the correlation evidence is weak."""
-    h = granule
-    n = min(len(ref), len(deg)) // h * h
-    if n < 4 * h:
-        return 0
-    er = np.sum(ref[:n].reshape(-1, h) ** 2, axis=1)
-    ed = np.sum(deg[:n].reshape(-1, h) ** 2, axis=1)
-    # floor silence at 1e-4 of the peak granule so zero-padding does not
-    # dominate, then log-compress and mean-remove
-    er = np.log10(np.maximum(er, 1e-4 * max(er.max(), 1e-12)))
-    ed = np.log10(np.maximum(ed, 1e-4 * max(ed.max(), 1e-12)))
-    er -= er.mean()
-    ed -= ed.mean()
-    norm = math.sqrt(np.sum(er ** 2) * np.sum(ed ** 2))
-    if norm <= 0:
-        return 0
-    c = np.correlate(ed, er, mode="full")  # envelope corr, lag = idx-(F-1) granules
-    if c.max() < 0.3 * norm:  # no credible envelope match
-        return 0
-    # primary: global waveform cross-correlation (sharp and unambiguous even
-    # when the energy envelope is periodic), validated against the envelope
-    m = 1 << math.ceil(math.log2(2 * n))
-    R = np.fft.rfft(ref[:n], m)
-    D = np.fft.rfft(deg[:n], m)
-    cc = np.fft.irfft(D * np.conj(R), m)  # cc[l] = sum deg[i+l]*ref[i] (mod m)
-    lags = np.arange(-(n - 1), n)
-    vals = cc[lags % m]
-    wnorm = math.sqrt(np.sum(ref[:n] ** 2) * np.sum(deg[:n] ** 2))
-    best = int(lags[np.argmax(vals)])
-    g = np.clip(round(best / h) + (len(er) - 1), 0, len(c) - 1)
-    if vals.max() > 0.1 * wnorm and c[g] >= 0.5 * c.max():
-        return best
-    # fallback: envelope peak refined by the waveform within +/- one granule
-    coarse = (int(np.argmax(c)) - (len(er) - 1)) * h
-    win = lags[(lags >= coarse - h) & (lags <= coarse + h)]
-    if len(win) and cc[win % m].max() > 0.1 * wnorm:
-        return int(win[np.argmax(cc[win % m])])
-    return coarse
-
-
-def _align_crop(ref: np.ndarray, deg: np.ndarray, delay: int
-                ) -> Tuple[np.ndarray, np.ndarray]:
-    """Crop both signals to their overlap under `delay` (deg[i + delay]
-    aligns with ref[i]). Cropping -- not zero-fill -- so no artificial
-    dropout is scored."""
-    if delay > 0:
-        deg = deg[delay:]
-    elif delay < 0:
-        ref = ref[-delay:]
-    return ref, deg
-
-
 def pesq(ref: np.ndarray, deg: np.ndarray, fs: int, mode: str = "nb") -> float:
     """PESQ score of `deg` against clean `ref`.
 
     Args:
-      ref, deg: waveforms (float in [-1, 1] or int16), sample-aligned.
+      ref, deg: waveforms (float in [-1, 1] or int16); need not be
+          sample-aligned -- the P.862 utterance alignment recovers
+          constant and piecewise-varying delays.
       fs: input sampling rate (resampled to 8 kHz for nb, 16 kHz for wb
           when different).
       mode: "nb" (raw P.862 MOS), "nb-lqo" (P.862.1), "wb" (P.862.2 MOS-LQO).
@@ -406,30 +413,47 @@ def pesq(ref: np.ndarray, deg: np.ndarray, fs: int, mode: str = "nb") -> float:
 
     r, d = prep(ref), prep(deg)
     cfg = _Cfg(target_fs)
-    # whole-signal time alignment (crude 4 ms-granule + fine waveform
-    # stages; see the SIMPLIFICATION note above)
-    delay = _estimate_delay(r, d, cfg.downsample)
-    if delay:
-        r, d = _align_crop(r, d, delay)
-    n = min(len(r), len(d))
-    r, d = r[:n], d[:n]
-    n_total = n + 2 * cfg.sb
+    # SEARCHBUFFER front padding, DATAPADDING + SEARCHBUFFER back padding
+    # (ref: pesq.m:71-81); ref/deg keep their own lengths
+    ref_ns = len(r) + 2 * cfg.sb
+    deg_ns = len(d) + 2 * cfg.sb
     zpre = np.zeros(cfg.sb)
     zpost = np.zeros(cfg.pad + cfg.sb)
     r = np.concatenate([zpre, r, zpost])
     d = np.concatenate([zpre, d, zpost])
+    max_ns = max(ref_ns, deg_ns)
 
-    r = _fix_power_level(r, n_total, n_total, cfg)
-    d = _fix_power_level(d, n_total, n_total, cfg)
+    r = _fix_power_level(r, ref_ns, max_ns, cfg)
+    d = _fix_power_level(d, deg_ns, max_ns, cfg)
 
     if mode == "wb":
         r = sosfilt(cfg.wb_sos, r)
         d = sosfilt(cfg.wb_sos, d)
     else:
-        r = _apply_filter_fft(r, n_total - 2 * cfg.sb + cfg.pad, _IRS_FILTER_DB, cfg)
-        d = _apply_filter_fft(d, n_total - 2 * cfg.sb + cfg.pad, _IRS_FILTER_DB, cfg)
+        r = _apply_filter_fft(r, ref_ns - 2 * cfg.sb + cfg.pad, _IRS_FILTER_DB, cfg)
+        d = _apply_filter_fft(d, deg_ns - 2 * cfg.sb + cfg.pad, _IRS_FILTER_DB, cfg)
 
-    raw = _psychoacoustic_model(r, d, n_total, cfg)
+    # P.862 time alignment on the DC-blocked + InIIR-filtered signals
+    # (ref: pesq.m:140-186): whole-signal crude alignment, then utterance
+    # location / fine alignment / recursive splitting
+    align_r = A.input_filter_iir(A.dc_block(r, ref_ns, cfg), cfg)
+    align_d = A.input_filter_iir(A.dc_block(d, deg_ns, cfg), cfg)
+    vad_r, logvad_r = A.apply_vad(align_r, ref_ns, cfg)
+    vad_d, logvad_d = A.apply_vad(align_d, deg_ns, cfg)
+    st = A.AlignState()
+    A.crude_align(st, logvad_r, ref_ns, logvad_d, deg_ns, A.WHOLE_SIGNAL, cfg)
+    A.utterance_locate(st, align_r, ref_ns, vad_r, logvad_r,
+                       align_d, deg_ns, vad_d, logvad_d, cfg)
+
+    # zero-extend both model signals to max_ns + pad (ref: pesq.m:188-197)
+    newlen = max_ns + cfg.pad
+    if len(r) < newlen:
+        r = np.concatenate([r, np.zeros(newlen - len(r))])
+    if len(d) < newlen:
+        d = np.concatenate([d, np.zeros(newlen - len(d))])
+
+    raw = _psychoacoustic_model(r[:newlen], d[:newlen], ref_ns, deg_ns,
+                                st, cfg)
 
     if mode == "nb":
         return float(raw)

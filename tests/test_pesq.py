@@ -90,32 +90,74 @@ class TestPESQ:
 
 
 def _delayed(x: np.ndarray, dly: int) -> np.ndarray:
-    y = np.zeros_like(x)
+    """Delay without content loss: positive delays prepend silence (the
+    degraded signal runs longer), negative delays drop leading samples.
+    A zero-filled fixed-length shift would truncate real content at the
+    edge, which spec-faithful PESQ legitimately scores as distortion."""
     if dly >= 0:
-        y[dly:] = x[: len(x) - dly]
-    else:
-        y[: len(x) + dly] = x[-dly:]
-    return y
+        return np.concatenate([np.zeros(dly), x])
+    return x[-dly:].copy()
 
 
 class TestAlignment:
-    """The whole-signal crude+fine alignment stage: scores must survive a
-    constant delay of the degraded signal (the round-1 review's missing
-    evidence for the documented utterance-split simplification)."""
+    """The P.862 utterance alignment pipeline: scores must survive
+    constant delays, and utterance SPLITTING must track a delay that
+    jumps mid-signal (round-2 VERDICT missing #1)."""
 
-    def test_estimate_delay_recovers_planted_delay(self):
-        from deepxi_tpu.metrics.pesq import _estimate_delay
+    def test_utterance_alignment_recovers_planted_delay(self):
+        from deepxi_tpu.metrics import _pesq_align as A
+        from deepxi_tpu.metrics.pesq import _Cfg, _fix_power_level
+        cfg = _Cfg(16000)
         x = speechlike() * 32768.0
-        for dly in (0, 128, 777, 3200, -512):
-            est = _estimate_delay(x, _delayed(x, dly), 128)
-            assert est == dly, (dly, est)
+        for dly in (0, 777, 3200, -512):
+            r, d = x, _delayed(x, dly)
+            ref_ns = len(r) + 2 * cfg.sb
+            deg_ns = len(d) + 2 * cfg.sb
+            zpre = np.zeros(cfg.sb)
+            zpost = np.zeros(cfg.pad + cfg.sb)
+            rr = np.concatenate([zpre, r, zpost])
+            dd = np.concatenate([zpre, d, zpost])
+            align_r = A.input_filter_iir(A.dc_block(rr, ref_ns, cfg), cfg)
+            align_d = A.input_filter_iir(A.dc_block(dd, deg_ns, cfg), cfg)
+            vad_r, logvad_r = A.apply_vad(align_r, ref_ns, cfg)
+            vad_d, logvad_d = A.apply_vad(align_d, deg_ns, cfg)
+            st = A.AlignState()
+            A.crude_align(st, logvad_r, ref_ns, logvad_d, deg_ns,
+                          A.WHOLE_SIGNAL, cfg)
+            A.utterance_locate(st, align_r, ref_ns, vad_r, logvad_r,
+                               align_d, deg_ns, vad_d, logvad_d, cfg)
+            assert st.nutt >= 1
+            for utt in range(1, st.nutt + 1):
+                est = int(st.utt_delay[utt])
+                assert abs(est - dly) <= 16, (dly, utt, est)
+
+    def test_split_align_tracks_mid_signal_delay_jump(self):
+        """A delay that jumps +40 ms at t=2 s: utterance splitting must
+        recover both delays and the score must converge to the
+        undelayed score (the VERDICT's acceptance test)."""
+        x = speechlike(n=64000)
+        base = pesq(x, x + np.random.RandomState(11).randn(len(x)) * 0.003,
+                    16000, "nb")
+        noise = np.random.RandomState(11).randn(len(x)) * 0.003
+        y = x + noise
+        jump = 640  # +40 ms at 16 kHz, inserted at t=2 s (deg runs longer)
+        y2 = np.concatenate([y[:32000], y[32000 - jump:]])
+        v = pesq(x, y2, 16000, "nb")
+        # without piecewise alignment the second half scores as garbage
+        # (delay 640 = 40 ms >> one frame); with split alignment the score
+        # converges to the aligned one
+        assert abs(v - base) < 0.35, (v, base)
 
     def test_delayed_identity_stays_near_max(self):
         x = speechlike()
         base = pesq(x, x, 16000, "nb")
-        for dly in (160, 320, 1600, -320):
+        for dly in (160, 320, 1600):
             v = pesq(x, _delayed(x, dly), 16000, "nb")
             assert abs(v - base) < 0.1, (dly, v, base)
+        # negative delay: degraded leads the reference (silence prepended
+        # to the reference, so no content is lost on either side)
+        v = pesq(np.concatenate([np.zeros(320), x]), x, 16000, "nb")
+        assert abs(v - base) < 0.1, (v, base)
 
     def test_delayed_noisy_score_stable(self):
         x = speechlike()
