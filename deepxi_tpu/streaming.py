@@ -224,7 +224,12 @@ class StreamingMHANet:
     cache evicts nothing -- streaming is defined for utterances within the
     cap, like the reference's offline model)."""
 
-    def __init__(self, inp_tgt, net, params, gtype: str = "mmse-lsa"):
+    def __init__(self, inp_tgt, net, params, gtype: str = "mmse-lsa",
+                 fused: bool = False, cache_dtype=jnp.float32):
+        """fused=True routes the per-hop cache attention through the
+        single-launch Pallas kernel (ops/kernels/mha_cache.py);
+        cache_dtype=jnp.bfloat16 halves the cache HBM traffic that sets
+        streaming capacity (logits/softmax stay float32 either way)."""
         name = type(net).__name__
         if name not in ("MHANetV2", "MHANetV3"):
             raise ValueError(f"StreamingMHANet supports MHANetV2/V3, got {name}")
@@ -236,6 +241,8 @@ class StreamingMHANet:
         self.net = net
         self.p = params["params"]
         self.gtype = gtype
+        self.fused = fused
+        self.cache_dtype = cache_dtype
         self.N_d, self.N_s, self.K = inp_tgt.N_d, inp_tgt.N_s, inp_tgt.K
         self.nb = self.K // 2 + 1
         self.A = jnp.asarray(_analysis_matrix(self.N_d, self.K))
@@ -246,9 +253,11 @@ class StreamingMHANet:
         self.has_pos = name == "MHANetV3"
 
     def init_state(self, batch: int) -> MHAStreamState:
-        kc = tuple(jnp.zeros((batch, self.max_len, self.H, self.dk))
+        kc = tuple(jnp.zeros((batch, self.max_len, self.H, self.dk),
+                             self.cache_dtype)
                    for _ in range(self.net.n_blocks))
-        vc = tuple(jnp.zeros((batch, self.max_len, self.H, self.dk))
+        vc = tuple(jnp.zeros((batch, self.max_len, self.H, self.dk),
+                             self.cache_dtype)
                    for _ in range(self.net.n_blocks))
         pad = self.N_d - self.N_s
         return MHAStreamState(k_caches=kc, v_caches=vc,
@@ -286,15 +295,22 @@ class StreamingMHANet:
             k_new = jnp.einsum("bI,HId->bHd", x, mha["key_kernel"])
             v_new = jnp.einsum("bI,HId->bHd", x, mha["value_kernel"])
             kc = jax.lax.dynamic_update_slice(
-                state.k_caches[i], k_new[:, None], (0, t, 0, 0))
+                state.k_caches[i], k_new[:, None].astype(self.cache_dtype),
+                (0, t, 0, 0))
             vc = jax.lax.dynamic_update_slice(
-                state.v_caches[i], v_new[:, None], (0, t, 0, 0))
+                state.v_caches[i], v_new[:, None].astype(self.cache_dtype),
+                (0, t, 0, 0))
             new_kc.append(kc)
             new_vc.append(vc)
-            logits = jnp.einsum("bHd,bLHd->bHL", q, kc)
-            logits = logits + (-1.0e10) * (1.0 - valid)[None, None, :]
-            w = jax.nn.softmax(logits, axis=-1)
-            o = jnp.einsum("bHL,bLHd->bHd", w, vc)
+            if self.fused:
+                from deepxi_tpu.ops.kernels.mha_cache import mha_cache_step
+                o = mha_cache_step(q, kc, vc, valid)
+            else:
+                logits = jnp.einsum("bHd,bLHd->bHL", q,
+                                    kc.astype(jnp.float32))
+                logits = logits + (-1.0e10) * (1.0 - valid)[None, None, :]
+                w = jax.nn.softmax(logits, axis=-1)
+                o = jnp.einsum("bHL,bLHd->bHd", w, vc.astype(jnp.float32))
             h = jnp.einsum("bHd,Hdo->bo", o, mha["projection_kernel"])
             x = self._layer_norm(x + h, f"block{i}_ln1")
             h = jax.nn.relu(x @ p[f"block{i}_ff1"]["kernel"]

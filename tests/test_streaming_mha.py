@@ -75,3 +75,26 @@ def test_rejects_non_mha(it):
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 257)))
     with pytest.raises(ValueError, match="MHANetV2/V3"):
         StreamingMHANet(it, net, params)
+
+
+@pytest.mark.parametrize("cache_dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_cache_step_matches_unfused(it, cache_dtype):
+    """The Pallas KV-cache attention step (ops/kernels/mha_cache.py)
+    reproduces the einsum step; bfloat16-resident caches stay within
+    bf16 rounding of the float32 path (round-2 VERDICT next #6)."""
+    net, params = make_net("MHANetV3")
+    rng = np.random.RandomState(3)
+    B, n = 2, 256 * 20
+    x = (rng.randn(B, n) * 3000).astype(np.int16)
+    y_ref = np.asarray(StreamingMHANet(it, net, params, "mmse-lsa")
+                       .stream(jnp.asarray(x)))
+    smf = StreamingMHANet(it, net, params, "mmse-lsa", fused=True,
+                          cache_dtype=cache_dtype)
+    y_fused = np.asarray(smf.stream(jnp.asarray(x)))
+    atol = 1e-5 if cache_dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(y_fused, y_ref, atol=atol)
+    if cache_dtype == jnp.bfloat16:
+        # bf16 caches must still track the f32 waveform closely
+        denom = np.sqrt(np.mean(y_ref ** 2)) + 1e-12
+        rel = np.sqrt(np.mean((y_fused - y_ref) ** 2)) / denom
+        assert rel < 0.05, rel
