@@ -434,6 +434,8 @@ def inp_tgt_selector(inp_tgt_type: str, N_d: int, N_s: int, K: int, f_s: int,
     families, 2-element lists for dual-map families."""
     dims = dict(N_d=N_d, N_s=N_s, K=K, f_s=f_s)
     mt, mp = kwargs.get("map_type"), kwargs.get("map_params")
+    if isinstance(mt, (list, tuple)) and mp is None:
+        mp = [None] * len(mt)  # dual-map family with default map params
     if inp_tgt_type == "MagXi":
         return MagXi(**dims, xi_map=map_selector(mt, mp))
     if inp_tgt_type == "MagGamma":

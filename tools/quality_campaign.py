@@ -63,6 +63,14 @@ def main(argv=None) -> int:
                          "(the reference's 40k steps assumes its real-corpus "
                          "epoch size; the synthetic campaign runs ~38 "
                          "steps/epoch, so MHA runs need a shorter ramp)")
+    ap.add_argument("--inp_tgt_type", default=None,
+                    help="override the preset's inp_tgt family (e.g. "
+                         "MagXiGamma, STDCTXiCD) for multi-target campaign "
+                         "rows; artifacts get a '-<family>' ver suffix")
+    ap.add_argument("--map_type", default=None,
+                    help="map DSL (';'/',' nesting) when the family needs "
+                         "one, e.g. 'DBNormalCDF;DBNormalCDF'")
+    ap.add_argument("--map_params", default=None)
     ap.add_argument("--skip_corpus", action="store_true")
     ap.add_argument("--skip_train", action="store_true")
     ap.add_argument("--resume_epoch", type=int, default=0)
@@ -85,10 +93,19 @@ def main(argv=None) -> int:
     extra = {}
     if args.warmup_steps is not None:
         extra["warmup_steps"] = args.warmup_steps
+    if args.inp_tgt_type is not None:
+        from deepxi_tpu.config import str_to_list
+        extra["inp_tgt_type"] = args.inp_tgt_type
+        if args.map_type:
+            extra["map_type"] = str_to_list(args.map_type)
+        if args.map_params:
+            extra["map_params"] = str_to_list(args.map_params)
     cfg = preset(args.ver, max_epochs=args.epochs, test_epoch=args.epochs,
                  gain=args.gain, train=True, val_flag=True,
                  save_every=25, val_every=5,
                  resume_epoch=args.resume_epoch, **extra)
+    if args.inp_tgt_type is not None:
+        cfg = cfg.replace(ver=args.ver + "-" + args.inp_tgt_type.lower())
     if args.tcn_fused_train:
         # separate log/model/results names for the equivalence run
         cfg = cfg.replace(tcn_fused_train=True, ver=args.ver + "-ft")
@@ -125,7 +142,7 @@ def main(argv=None) -> int:
         "|---|" + "---|" * len(cols),
         "| Noisy (unprocessed) | " + " | ".join(
             f"{noisy.get(c, float('nan')):.2f}" for c in cols) + " |",
-        f"| {args.ver} e{args.epochs} {args.gain} | " + " | ".join(
+        f"| {cfg.ver} e{args.epochs} {args.gain} | " + " | ".join(
             f"{enh.get(c, float('nan')):.2f}" for c in cols) + " |",
     ]
     table = "\n".join(lines) + "\n"
