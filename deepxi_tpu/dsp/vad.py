@@ -28,14 +28,22 @@ def energy_vad(wav: np.ndarray, fs: int, frame_ms: float = 10.0,
                margin_db: float = 12.0, floor_quantile: float = 0.1
                ) -> np.ndarray:
     """Adaptive energy VAD: a frame is speech if its energy exceeds the
-    noise floor (low quantile of frame energies) by `margin_db`.
+    noise floor (low quantile of frame energies) by an adaptive margin --
+    `margin_db`, shrunk to half the signal's own floor-to-90th-percentile
+    dynamic range (>= 3 dB) when that range is small, so low-SNR signals
+    still segment (webrtcvad keeps detecting down to ~5 dB SNR; the fixed
+    margin alone went silent there -- see
+    tests/test_vad.py::TestVADSegmentationFidelity).
 
     Returns a [T] bool array at `frame_ms` resolution.
     """
     e = np.asarray(frame_energies(jnp.asarray(wav), fs, frame_ms))
     e = np.maximum(e, 1e-12)
     floor = np.quantile(e, floor_quantile)
-    return 10.0 * np.log10(e / max(floor, 1e-12)) > margin_db
+    e_db = 10.0 * np.log10(e / max(floor, 1e-12))
+    dyn = np.quantile(e_db, 0.9)
+    margin = float(np.clip(0.5 * dyn, 3.0, margin_db))
+    return e_db > margin
 
 
 def smooth_vad(vad: np.ndarray, min_speech: int = 4, join: int = 50
