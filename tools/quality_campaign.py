@@ -73,6 +73,11 @@ def main(argv=None) -> int:
     ap.add_argument("--map_params", default=None)
     ap.add_argument("--skip_corpus", action="store_true")
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--skip_score", action="store_true",
+                    help="train only (intermediate segment of a long run "
+                         "split across processes -- the axon runtime leaks "
+                         "~2 MB host RSS per dispatched step, so long "
+                         "trainings run as resumed segments)")
     ap.add_argument("--resume_epoch", type=int, default=0)
     ap.add_argument("--copy_results_to", default=None,
                     help="directory to copy result CSVs + table into")
@@ -121,6 +126,9 @@ def main(argv=None) -> int:
         losses = dx.train(verbose=True)
         print(f"trained in {time.time() - t0:.0f}s; "
               f"loss {losses[0]:.4f} -> {losses[-1]:.4f}", flush=True)
+
+    if args.skip_score:
+        return 0
 
     print("== scoring noisy baseline ==", flush=True)
     noisy = score_noisy_baseline(cfg)
