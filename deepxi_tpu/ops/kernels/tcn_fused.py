@@ -208,11 +208,11 @@ def fused_block_group(x: jnp.ndarray, weights: Sequence[BlockWeights],
                 pre = jnp.logical_and(is_first, rows < off)
                 a2 = jnp.where(pre, 0.0, a2)
             W_out = a2.shape[0] - reach
-            y = _dot(a2[reach:], w2[...][k - 1])
-            for j in range(k - 1):
-                sl = a2[j * d: j * d + W_out]
-                y = y + _dot(sl, w2[...][j])
-            y = y + b2[...][0]
+            # k taps as ONE k*df-deep contraction (same MXU-util rationale
+            # as the whole-sequence kernel above)
+            taps = jnp.concatenate(
+                [a2[j * d: j * d + W_out] for j in range(k)], axis=-1)
+            y = _dot(taps, w2[...].reshape(k * a2.shape[-1], -1)) + b2[...][0]
             # unit 3 (1x1) + residual against the matching slice of h
             a3 = _ln(jax.nn.relu(y))
             u3 = _dot(a3, w3[...][0]) + b3[...][0]
