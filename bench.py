@@ -232,8 +232,11 @@ def bench_streaming_mha_capacity(budget_ms=16.0, n_rep=20,
     independent 16 ms-hop streams whose fused Pallas cache-step
     (ops/kernels/mha_cache.py, bfloat16-resident caches) clears the 16 ms
     budget. The bf16 caches bound capacity at ~5.2 MB/channel
-    (5 blocks x K+V x 2048 x 256 x 2 B), so 1024 channels is also near
-    the 16 GB HBM ceiling."""
+    (5 blocks x K+V x 2048 x 256 x 2 B): 1024 channels is ~10.7 GB of a
+    16 GB chip, which only fits with the state donated into the step
+    (in-place cache append; without donation the old+new copies OOM)."""
+    import gc
+
     from deepxi_tpu.models import network_selector
     from deepxi_tpu.streaming import StreamingMHANet
 
@@ -244,7 +247,7 @@ def bench_streaming_mha_capacity(budget_ms=16.0, n_rep=20,
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 257)))
     sm = StreamingMHANet(it, net, params, "mmse-lsa", fused=True,
                          cache_dtype=jnp.bfloat16)
-    step = jax.jit(sm.step)
+    step = jax.jit(sm.step, donate_argnums=(0,))
 
     def hop_ms(B):
         state = sm.init_state(B)
@@ -256,12 +259,15 @@ def bench_streaming_mha_capacity(budget_ms=16.0, n_rep=20,
         for _ in range(n_rep):
             state, y = step(state, chunk)
         _readback(y)
+        del state
         return (time.perf_counter() - t0) / n_rep * 1e3
 
     for B in candidates:
         try:
             ms = hop_ms(B)
         except Exception:  # HBM OOM at the largest candidates
+            gc.collect()
+            time.sleep(2.0)  # async dealloc drains through the relay
             continue
         if ms <= budget_ms:
             return B, ms
