@@ -162,7 +162,18 @@ def main(argv=None) -> int:
         import shutil
         dst = args.copy_results_to
         os.makedirs(dst, exist_ok=True)
-        shutil.copy("campaign_table.md", dst)
+        # merge into an existing table (several runs share one corpus /
+        # results dir) instead of clobbering earlier model rows
+        dst_table = os.path.join(dst, "campaign_table.md")
+        if os.path.exists(dst_table):
+            existing = open(dst_table).read().rstrip("\n").split("\n")
+            row = lines[-1]
+            if row not in existing:
+                existing.append(row)
+            with open(dst_table, "w") as f:
+                f.write("\n".join(existing) + "\n")
+        else:
+            shutil.copy("campaign_table.md", dst)
         res_dir = os.path.join(cfg.log_path, "results")
         for fn in os.listdir(res_dir):
             shutil.copy(os.path.join(res_dir, fn), dst)
