@@ -105,20 +105,16 @@ def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
             u1 = _dot(a, w1[...][0]) + b1[...][0]
             a2 = _ln(jax.nn.relu(u1))
             # causal dilated conv via per-tap shifted slices of the
-            # PER-ROW zero-padded input: out[t] = sum_j a2[t-(k-1-j)d] @ W[j].
-            # The k taps CONCATENATE into one [Bg*W, k*df] x [k*df, df]
-            # matmul: at df=64 a single 64-deep contraction uses half the
-            # MXU's depth, and these little taps dominate the block's
-            # cycle count -- one 192-deep contraction replaces three
-            # 64-deep ones (same f32-accumulated sum, MXU-order rounding
-            # only).
+            # PER-ROW zero-padded input: out[t] = sum_j a2[t-(k-1-j)d] @ W[j]
             df = a2.shape[-1]
             a2p = jnp.pad(a2.reshape(Bg, Tpad, df),
                           ((0, 0), (reach, 0), (0, 0)))
-            taps = jnp.concatenate(
-                [a2p[:, j * d: j * d + W] for j in range(k)], axis=-1)
-            y = _dot(taps.reshape(Bg * W, k * df),
-                     w2[...].reshape(k * df, df)) + b2[...][0]
+            y = _dot(a2p[:, (k - 1) * d:(k - 1) * d + W]
+                     .reshape(Bg * W, df), w2[...][k - 1])
+            for j in range(k - 1):
+                y = y + _dot(a2p[:, j * d: j * d + W].reshape(Bg * W, df),
+                             w2[...][j])
+            y = y + b2[...][0]
             a3 = _ln(jax.nn.relu(y))
             h = h + _dot(a3, w3[...][0]) + b3[...][0]
         o_ref[...] = h.reshape(Bg, Tpad, C)
@@ -208,11 +204,11 @@ def fused_block_group(x: jnp.ndarray, weights: Sequence[BlockWeights],
                 pre = jnp.logical_and(is_first, rows < off)
                 a2 = jnp.where(pre, 0.0, a2)
             W_out = a2.shape[0] - reach
-            # k taps as ONE k*df-deep contraction (same MXU-util rationale
-            # as the whole-sequence kernel above)
-            taps = jnp.concatenate(
-                [a2[j * d: j * d + W_out] for j in range(k)], axis=-1)
-            y = _dot(taps, w2[...].reshape(k * a2.shape[-1], -1)) + b2[...][0]
+            y = _dot(a2[reach:], w2[...][k - 1])
+            for j in range(k - 1):
+                sl = a2[j * d: j * d + W_out]
+                y = y + _dot(sl, w2[...][j])
+            y = y + b2[...][0]
             # unit 3 (1x1) + residual against the matching slice of h
             a3 = _ln(jax.nn.relu(y))
             u3 = _dot(a3, w3[...][0]) + b3[...][0]

@@ -70,11 +70,10 @@ def _block_fwd(h, w1, b1, w2, b2, w3, b3, dil, k):
     u1 = _dot(a, w1) + b1
     a2 = _ln(jax.nn.relu(u1))
     a2p = jnp.pad(a2, ((r, 0), (0, 0)))
-    # k taps as one k*df-deep contraction (MXU-util: see tcn_fused.py)
-    df = a2.shape[-1]
-    taps = jnp.concatenate([a2p[j * dil: j * dil + W] for j in range(k)],
-                           axis=-1)
-    y = _dot(taps, w2.reshape(k * df, df)) + b2
+    y = _dot(a2p[(k - 1) * dil:(k - 1) * dil + W], w2[k - 1])
+    for j in range(k - 1):
+        y = y + _dot(a2p[j * dil: j * dil + W], w2[j])
+    y = y + b2
     a3 = _ln(jax.nn.relu(y))
     return h + _dot(a3, w3) + b3
 
@@ -216,11 +215,10 @@ def fused_block_group_bwd(h0: jnp.ndarray, dout: jnp.ndarray,
             z1 = jax.nn.relu(u1)
             a2 = _ln(z1)
             a2p = jnp.pad(a2, ((r, 0), (0, 0)))
-            df = a2.shape[-1]
-            taps = jnp.concatenate(
-                [a2p[j * dil: j * dil + W] for j in range(k)], axis=-1)
-            w2cat = w2.reshape(k * df, df)
-            y = _dot(taps, w2cat) + b2
+            y = _dot(a2p[(k - 1) * dil:(k - 1) * dil + W], w2[k - 1])
+            for j in range(k - 1):
+                y = y + _dot(a2p[j * dil: j * dil + W], w2[j])
+            y = y + b2
             z2 = jax.nn.relu(y)
             a3 = _ln(z2)
 
@@ -232,16 +230,13 @@ def fused_block_group_bwd(h0: jnp.ndarray, dout: jnp.ndarray,
             dy = _ln_bwd(da3, z2) * (y > 0)
             # unit 2 (dilated conv)
             db2r[0] += jnp.sum(dy, axis=0)
-            # weight grads: one [k*df, W] x [W, df] contraction
-            dw2r[...] += _dot_t(taps, dy).reshape(k, df, df)
-            # input grads: one [W, df] x [df, k*df] matmul, then the
-            # per-tap shifted adds on its slices (zero pad rows null out)
-            dtaps = _dot_bt(dy, w2cat)              # [W, k*df]
-            dtp = jnp.pad(dtaps, ((0, r), (0, 0)))
-            da2 = dtp[(k - 1) * dil: (k - 1) * dil + W, 0:df]
+            for j in range(k):
+                dw2r[j] += _dot_t(a2p[j * dil: j * dil + W], dy)
+            dyp = jnp.pad(dy, ((0, r), (0, 0)))
+            da2 = _dot_bt(dyp[(k - 1) * dil: (k - 1) * dil + W], w2[0])
             for j in range(1, k):
-                da2 = da2 + dtp[(k - 1 - j) * dil: (k - 1 - j) * dil + W,
-                                j * df:(j + 1) * df]
+                da2 = da2 + _dot_bt(dyp[(k - 1 - j) * dil:
+                                        (k - 1 - j) * dil + W], w2[j])
             du1 = _ln_bwd(da2, z1) * (u1 > 0)
             # unit 1
             dw1r[0] += _dot_t(a, du1)
