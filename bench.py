@@ -83,28 +83,36 @@ def bench_resnet_rtf(B=96, seconds=10.0):
     return B * (n / f_s) / dt, roofline
 
 
-def pipeline_flops_bytes(B, n):
-    """Static FLOP and minimum-HBM-byte model of the fused enhancement
-    pipeline (round-2 VERDICT next #5: make 'HBM-bound' a number).
+def pipeline_flops_bytes(B, n, groups=2):
+    """Static FLOP count and HBM-traffic floor of the fused enhancement
+    pipeline (round-2 VERDICT next #5: make the boundedness claim a
+    number).
 
     FLOPs: the DFT analysis/synthesis matmuls + the 40-block TCN matmuls
-    (elementwise map/gain work is negligible). Bytes: the unavoidable HBM
-    traffic under perfect fusion -- int16 wav in/out, per-block activation
-    read+write ([B,T,256] f32 between blocks; the fused kernel keeps
-    intra-block tensors in VMEM), plus one pass over the weights.
-    Everything else (better fusion, bf16 activations) shrinks the real
-    traffic toward this floor, so achieved_gbps computed against it is a
-    LOWER bound on efficiency."""
+    (elementwise map/gain/LN work excluded -- it runs on the VPU, not the
+    MXU). Bytes: the fused path's actual HBM structure -- int16 wav
+    in/out, framing + polar intermediates around the two DFT matmuls,
+    [B,T,256] f32 activations crossing HBM only at the `groups` Pallas
+    group boundaries (20 blocks per kernel stay in VMEM), one pass over
+    the weights.
+
+    Interpretation (v5e: 394 bf16 TFLOP/s, ~819 GB/s): at the measured
+    ~8.5 ms for B=96 x 10 s both ratios come out LOW (~35 TFLOP/s, tens
+    of GB/s) -- the kernel is neither HBM- nor MXU-peak-bound; its wall
+    is the d_f=64 matmul tiles (<=50% MXU occupancy) interleaved with
+    VPU-serial LN/ReLU chains, i.e. an occupancy roofline, not a
+    bandwidth one."""
     T = n // N_s
     d_model, d_f, k, blocks, nb = 256, 64, 3, 40, 257
     dft = 2 * 2 * B * T * N_d * (2 * nb)          # analysis + synthesis
     in_out = 2 * B * T * nb * d_model * 2          # in-conv + out-conv
     per_block = 2 * B * T * (d_model * d_f + k * d_f * d_f + d_f * d_model)
     flops = dft + in_out + blocks * per_block
-    act = blocks * 2 * B * T * d_model * 4         # read+write per block
     wav = 2 * B * n * 2                            # int16 in + out
+    dft_io = 2 * B * T * (N_d + 2 * nb) * 4        # frames + polar, both ways
+    act = groups * 2 * B * T * d_model * 4         # group-boundary r/w
     weights = 1_950_000 * 4
-    return flops, act + wav + weights
+    return flops, wav + dft_io + act + weights
 
 
 def bench_mhanet_rtf(impl, B=None, seconds=10.0):
