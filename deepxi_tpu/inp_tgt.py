@@ -361,7 +361,14 @@ class STDCTXiCD(InpTgtBase):
         xi_hat = self.xi_map.inverse(xi_bar_hat)
         cdm_hat = self.cd_map.inverse(cd_bar_hat) > 0.0
         y = x_STDCT * gfunc(xi_hat, xi_hat + 1.0, gtype, cdm_hat)
-        return sig.inverse_stdct(y, self.N_d, self.N_s, self.K)
+        # REFERENCE DEFECT NOT REPRODUCED: tf.signal's unnormalised idct
+        # makes the reference's analysis->synthesis round trip carry a 2K
+        # gain (deepxi/dct.py:78 idct with no norm), so its STDCT
+        # enhancement would write ~1000x-hot clipped wavs (no STDCT
+        # checkpoint ships to hide it). inverse_stdct stays faithful to
+        # the tf.signal convention (golden-tested); the family normalises
+        # here so enhanced speech comes back at signal scale.
+        return sig.inverse_stdct(y, self.N_d, self.N_s, self.K) / (2.0 * self.K)
 
     def xi_hat(self, tgt_hat):
         return self.xi_map.inverse(jnp.split(tgt_hat, 2, axis=-1)[0])

@@ -117,3 +117,29 @@ class TestSTDCT:
     def test_invalid_type(self):
         with pytest.raises(ValueError):
             inp_tgt_selector("MagBogus", **DIMS)
+
+
+def test_stdct_enhanced_speech_at_signal_scale():
+    """STDCTXiCD synthesis must return waveforms at signal scale: the
+    reference's unnormalised tf idct carries a 2K round-trip gain
+    (deepxi/dct.py:78) that would write ~1000x-hot clipped wavs -- a
+    defect not reproduced (normalised in STDCTXiCD.enhanced_speech)."""
+    import jax
+    from deepxi_tpu.inp_tgt import inp_tgt_selector
+    it = inp_tgt_selector("STDCTXiCD", N_d=512, N_s=256, K=512, f_s=16000,
+                          map_type=["DBNormalCDF", "DBNormalCDF"],
+                          map_params=None)
+    rng = np.random.RandomState(0)
+    s = jnp.asarray((rng.randn(2, 8192) * 3000).astype(np.int16))
+    d = jnp.asarray((rng.randn(2, 16384) * 1000).astype(np.int16))
+    lens = jnp.asarray([8192, 8192], jnp.int32)
+    dlens = jnp.asarray([16384, 16384], jnp.int32)
+    it = it.with_stats(s, d, s, lens)
+    X, _ = it.observation(s[0])
+    # oracle targets -> near-identity gain -> output near the input scale
+    key = jax.random.PRNGKey(0)
+    _, tgt, _ = it.example(key, s, d, lens, dlens, jnp.asarray([30.0, 30.0]))
+    y = it.enhanced_speech(X, X, tgt[0], "srwf")
+    x_rms = float(jnp.sqrt(jnp.mean(jnp.square(s[0] / 32768.0))))
+    y_rms = float(jnp.sqrt(jnp.mean(jnp.square(y))))
+    assert 0.3 * x_rms < y_rms < 3.0 * x_rms, (x_rms, y_rms)
