@@ -225,3 +225,36 @@ class TestFusedTCNOnHardware:
         rms = float(np.sqrt(np.mean(y_x ** 2)))
         dev = float(np.sqrt(np.mean((y_x - y_f) ** 2)))
         assert dev < 0.1 * max(rms, 1e-6), (dev, rms)
+
+
+class TestStreamingMHACacheOnHardware:
+    def test_fused_cache_step_matches_unfused_on_chip(self):
+        """The Pallas KV-cache attention step (ops/kernels/mha_cache.py)
+        lowers on Mosaic and tracks the einsum step on the real chip
+        (measured 2026-08-17: rel-RMS 2.1e-3 for BOTH f32 and bf16
+        caches -- the deviation is the kernel's own bf16-multiply dots,
+        not the cache dtype)."""
+        from deepxi_tpu.inp_tgt import inp_tgt_selector
+        from deepxi_tpu.models import network_selector
+        from deepxi_tpu.streaming import StreamingMHANet
+
+        it = inp_tgt_selector("MagXi", N_d=512, N_s=256, K=512, f_s=16000,
+                              map_type="DBNormalCDF", map_params=None)
+        sample = (np.abs(np.random.RandomState(0).randn(64, 257)) ** 2
+                  ).astype(np.float32)
+        it = it.replace(xi_map=it.xi_map.with_stats(jnp.asarray(sample)))
+        net = network_selector("MHANetV3", 257, d_model=256, n_blocks=5,
+                               n_heads=8, causal=True, outp_act="Sigmoid",
+                               max_len=2048)
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 257)))
+        rng = np.random.RandomState(3)
+        x = (rng.randn(1, 256 * 12) * 3000).astype(np.int16)
+        y_ref = np.asarray(StreamingMHANet(it, net, params, "mmse-lsa")
+                           .stream(jnp.asarray(x)))
+        for dt in (jnp.float32, jnp.bfloat16):
+            smf = StreamingMHANet(it, net, params, "mmse-lsa", fused=True,
+                                  cache_dtype=dt)
+            y_f = np.asarray(smf.stream(jnp.asarray(x)))
+            rel = (np.sqrt(np.mean((y_f - y_ref) ** 2))
+                   / (np.sqrt(np.mean(y_ref ** 2)) + 1e-12))
+            assert rel < 1e-2, (dt, rel)
