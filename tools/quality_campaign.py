@@ -71,6 +71,13 @@ def main(argv=None) -> int:
                     help="map DSL (';'/',' nesting) when the family needs "
                          "one, e.g. 'DBNormalCDF;DBNormalCDF'")
     ap.add_argument("--map_params", default=None)
+    ap.add_argument("--loss_fnc", default=None,
+                    help="override the preset's loss (families whose target "
+                         "is not in [0,1], e.g. MagSMM's [0,5] mask, train "
+                         "with MeanSquaredError instead of BCE)")
+    ap.add_argument("--outp_act", default=None,
+                    help="override the preset's output activation (e.g. "
+                         "ReLU for MagSMM's non-negative unbounded mask)")
     ap.add_argument("--skip_corpus", action="store_true")
     ap.add_argument("--skip_train", action="store_true")
     ap.add_argument("--skip_score", action="store_true",
@@ -98,6 +105,10 @@ def main(argv=None) -> int:
     extra = {}
     if args.warmup_steps is not None:
         extra["warmup_steps"] = args.warmup_steps
+    if args.loss_fnc is not None:
+        extra["loss_fnc"] = args.loss_fnc
+    if args.outp_act is not None:
+        extra["outp_act"] = args.outp_act
     if args.inp_tgt_type is not None:
         from deepxi_tpu.config import str_to_list
         extra["inp_tgt_type"] = args.inp_tgt_type
