@@ -156,10 +156,13 @@ class MagGamma(InpTgtBase):
 
     def enhanced_speech(self, x_STMS, x_STPS, gamma_bar_hat, gtype: str,
                         xi_hat: Optional[jnp.ndarray] = None):
-        """Needs an external xi_hat (.mat in the reference,
-        ref: deepxi/inp_tgt.py:299-317)."""
+        """The reference requires an a priori SNR loaded from an external
+        .mat here (ref: deepxi/inp_tgt.py:299-317) yet also defines the ML
+        estimate ``max(gamma_hat - 1, 1e-12)`` on this family (:332-343).
+        Deviation: when no external xi_hat is given, that ML estimate is
+        used so MagGamma enhances standalone instead of crashing."""
         if xi_hat is None:
-            raise ValueError("MagGamma synthesis requires an external xi_hat")
+            xi_hat = self.xi_hat(gamma_bar_hat)
         gamma_hat = self.gamma_map.inverse(gamma_bar_hat)
         y_STMS = x_STMS * gfunc(xi_hat, gamma_hat, gtype)
         return self.polar_synthesis(y_STMS, x_STPS)
@@ -457,8 +460,12 @@ def inp_tgt_selector(inp_tgt_type: str, N_d: int, N_s: int, K: int, f_s: int,
     if inp_tgt_type == "MagSMM":
         return MagSMM(**dims)
     if inp_tgt_type == "MagPhaXiPha":
+        # STPS lives in [-pi, pi]; default the phase map's range to that
+        # when no map_params are given (the reference requires explicit
+        # params and crashes otherwise, deepxi/map.py:597).
+        stps_mp = mp[1] if mp[1] is not None else [-math.pi, math.pi]
         return MagPhaXiPha(**dims, xi_map=map_selector(mt[0], mp[0]),
-                           s_stps_map=map_selector(mt[1], mp[1]))
+                           s_stps_map=map_selector(mt[1], stps_mp))
     if inp_tgt_type == "STDCTXiCD":
         return STDCTXiCD(**dims, xi_map=map_selector(mt[0], mp[0]),
                          cd_map=map_selector(mt[1], mp[1]))

@@ -323,7 +323,13 @@ def map_selector(map_type: str, params: Optional[Sequence] = None):
     if "LaplaceCDF" in map_type:
         return LaplaceCDF(square=square, use_db=use_db, loc=float(p[0]))
     if "UniformCDF" in map_type:
-        return UniformCDF(square=square, use_db=use_db, a=float(p[0]), b=float(p[1]))
+        # The reference crashes on omitted params (`a, b = self.params` with
+        # None, deepxi/map.py:597); here the class defaults [0, 1] apply
+        # instead (defect not reproduced).
+        if len(p) >= 2:
+            return UniformCDF(square=square, use_db=use_db,
+                              a=float(p[0]), b=float(p[1]))
+        return UniformCDF(square=square, use_db=use_db)
     if "Square" in map_type:
         return Square(use_db=use_db)
     raise ValueError(f"Invalid map_type: {map_type!r}")

@@ -76,6 +76,10 @@ class TestMagXi:
     ("MagSMM", dict(), 1),
     ("MagPhaXiPha", dict(map_type=["DBNormalCDF", "Linear"],
                          map_params=[None, None]), 2),
+    # UniformCDF phase map with no params: defaults to [-pi, pi] for the
+    # STPS target (reference crashes on omitted params, deepxi/map.py:597).
+    ("MagPhaXiPha", dict(map_type=["DBNormalCDF", "UniformCDF"],
+                         map_params=None), 2),
 ])
 class TestFamilies:
     def test_example_and_synthesis(self, typ, kw, outp_mult):
@@ -94,6 +98,14 @@ class TestFamilies:
         o, sup = it.observation(jnp.asarray(s[0]))
         if typ == "MagGamma":
             y = it.enhanced_speech(o, sup, tgt[0], "mmse-lsa", xi_hat=jnp.ones_like(o))
+            # Standalone path: no external xi_hat falls back to the ML
+            # a priori estimate max(gamma_hat - 1, eps) (ref defines it at
+            # deepxi/inp_tgt.py:332-343; its enhanced_speech would crash).
+            y_ml = it.enhanced_speech(o, sup, tgt[0], "mmse-lsa")
+            y_explicit = it.enhanced_speech(o, sup, tgt[0], "mmse-lsa",
+                                            xi_hat=it.xi_hat(tgt[0]))
+            np.testing.assert_allclose(np.asarray(y_ml), np.asarray(y_explicit),
+                                       rtol=1e-5, atol=1e-5)
         else:
             y = it.enhanced_speech(o, sup, tgt[0], "mmse-lsa")
         assert np.isfinite(np.asarray(y)).all()

@@ -169,6 +169,14 @@ class TestOtherMaps:
         back = np.asarray(m.inverse(xbar))
         np.testing.assert_allclose(back, self.x, rtol=1e-5)
 
+    def test_uniform_cdf_default_params(self):
+        # Omitted params fall back to [0, 1] (the reference crashes instead,
+        # deepxi/map.py:597 — defect not reproduced).
+        m = map_selector("UniformCDF", None)
+        assert (m.a, m.b) == (0.0, 1.0)
+        np.testing.assert_allclose(
+            np.asarray(m.map(jnp.asarray([[0.25]]))), [[0.25]])
+
     def test_clip(self):
         m = map_selector("Clip", [0.0, 1.0])
         out = np.asarray(m.map(jnp.asarray([[-1.0, 0.5, 2.0]])))
