@@ -282,6 +282,56 @@ def bench_streaming_mha_capacity(budget_ms=16.0, n_rep=20,
     return 1, hop_ms(1)
 
 
+def bench_streaming_mha_capacity_chunked(hop_batch=8, n_rep=10,
+                                         candidates=(2048, 1024, 512, 256)):
+    """Hop-batched ("chunked") streaming-MHANet capacity: `step_block`
+    processes ``hop_batch`` 16 ms hops per dispatch, so each block's KV
+    cache is read once per ``hop_batch`` hops and the attention logits are
+    a real [H, L] matmul instead of H matvecs. Real-time then requires the
+    dispatch to clear ``hop_batch x 16 ms``; added output latency is one
+    chunk (hop_batch x 16 ms). Parity with sequential steps is tested in
+    tests/test_streaming_mha.py."""
+    import gc
+
+    from deepxi_tpu.models import network_selector
+    from deepxi_tpu.streaming import StreamingMHANet
+
+    budget_ms = 16.0 * hop_batch
+    it = _mag_xi(5)
+    net = network_selector("MHANetV3", 257, d_model=256, n_blocks=5,
+                           n_heads=8, causal=True, outp_act="Sigmoid",
+                           max_len=2048)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 257)))
+    sm = StreamingMHANet(it, net, params, "mmse-lsa",
+                         cache_dtype=jnp.bfloat16)
+    step = jax.jit(sm.step_block, donate_argnums=(0,))
+
+    def chunk_ms(B):
+        state = sm.init_state(B)
+        chunk = jnp.asarray((np.random.RandomState(7)
+                             .randn(B, hop_batch * N_s) * 3000
+                             ).astype(np.int16))
+        state, y = step(state, chunk)
+        _readback(y)
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            state, y = step(state, chunk)
+        _readback(y)
+        del state
+        return (time.perf_counter() - t0) / n_rep * 1e3
+
+    for B in candidates:
+        try:
+            ms = chunk_ms(B)
+        except Exception:  # HBM OOM at the largest candidates
+            gc.collect()
+            time.sleep(2.0)
+            continue
+        if ms <= budget_ms:
+            return B, ms
+    return 1, chunk_ms(1)
+
+
 def bench_streaming_latency(B=1, n_rep=100):
     """Real-time serving latency: one 16 ms hop through the streaming
     flagship enhancer (deepxi_tpu/streaming.py), jitted, state threaded on
@@ -371,6 +421,12 @@ def main():
         extra["streaming_mha_ms_per_hop_at_capacity"] = round(mha_ms, 3)
     except Exception as e:  # pragma: no cover
         extra["streaming_mha_error"] = str(e)[:200]
+    try:
+        cb, cms = bench_streaming_mha_capacity_chunked()
+        extra["streaming_mha_channels_per_chip_chunked"] = cb
+        extra["streaming_mha_ms_per_chunk_at_capacity"] = round(cms, 3)
+    except Exception as e:  # pragma: no cover
+        extra["streaming_mha_chunked_error"] = str(e)[:200]
     try:
         extra.update(bench_numerics())
     except Exception as e:  # pragma: no cover

@@ -321,6 +321,101 @@ class StreamingMHANet:
         out = x @ p["out_conv"]["kernel"][0] + p["out_conv"]["bias"]
         return tuple(new_kc), tuple(new_vc), jax.nn.sigmoid(out)
 
+    def _net_step_block(self, state: MHAStreamState, feat):
+        """``H`` frames through the MHANet in one dispatch. feat: [B, H, F].
+
+        Identical math to ``H`` sequential `_net_step` calls (the network is
+        feed-forward over frames; causality lives only in the attention
+        mask), but each block's cache is READ ONCE for all ``H`` queries —
+        logits are one [H, L] matmul instead of ``H`` [1, L] matvecs — so
+        per-hop HBM cache traffic drops ``H``-fold and the MXU sees real
+        tiles. This is the hop-batched ("chunked") serving mode: ``H×16 ms``
+        added latency buys ~``H×`` stream capacity (bench.py's
+        ``streaming_mha_channels_per_chip_chunked``)."""
+        p = self.p
+        t = state.t
+        Hn = feat.shape[1]
+        x = jnp.einsum("btI,Io->bto", feat, p["in_conv"]["kernel"][0])
+        x = self._layer_norm(x, "in_ln")
+        x = jax.nn.relu(x)
+        if self.has_pos:
+            x = x + jnp.take(p["pos_emb"]["embedding"],
+                             (t + jnp.arange(Hn)) % self.max_len, axis=0)
+
+        # query i (absolute position t+i) sees cache entries j <= t+i
+        valid = (jnp.arange(self.max_len)[None, :]
+                 <= (t + jnp.arange(Hn))[:, None]).astype(jnp.float32)
+        new_kc, new_vc = [], []
+        for i in range(self.net.n_blocks):
+            mha = p[f"block{i}_mha"]
+            q = jnp.einsum("btI,HId->btHd", x, mha["query_kernel"]) \
+                * (float(self.dk) ** -0.5)
+            k_new = jnp.einsum("btI,HId->btHd", x, mha["key_kernel"])
+            v_new = jnp.einsum("btI,HId->btHd", x, mha["value_kernel"])
+            kc = jax.lax.dynamic_update_slice(
+                state.k_caches[i], k_new.astype(self.cache_dtype),
+                (0, t, 0, 0))
+            vc = jax.lax.dynamic_update_slice(
+                state.v_caches[i], v_new.astype(self.cache_dtype),
+                (0, t, 0, 0))
+            new_kc.append(kc)
+            new_vc.append(vc)
+            logits = jnp.einsum("btHd,bLHd->bHtL", q,
+                                kc.astype(jnp.float32))
+            logits = logits + (-1.0e10) * (1.0 - valid)[None, None]
+            w = jax.nn.softmax(logits, axis=-1)
+            o = jnp.einsum("bHtL,bLHd->btHd", w, vc.astype(jnp.float32))
+            h = jnp.einsum("btHd,Hdo->bto", o, mha["projection_kernel"])
+            x = self._layer_norm(x + h, f"block{i}_ln1")
+            h = jax.nn.relu(jnp.einsum("bto,oi->bti", x,
+                                       p[f"block{i}_ff1"]["kernel"])
+                            + p[f"block{i}_ff1"]["bias"])
+            h = jnp.einsum("bti,io->bto", h, p[f"block{i}_ff2"]["kernel"]) \
+                + p[f"block{i}_ff2"]["bias"]
+            x = self._layer_norm(x + h, f"block{i}_ln2")
+
+        out = jnp.einsum("bto,oK->btK", x, p["out_conv"]["kernel"][0]) \
+            + p["out_conv"]["bias"]
+        return tuple(new_kc), tuple(new_vc), jax.nn.sigmoid(out)
+
+    def step_block(self, state: MHAStreamState, chunk: jnp.ndarray
+                   ) -> Tuple[MHAStreamState, jnp.ndarray]:
+        """Process ``H`` hops of audio in one dispatch (chunked streaming).
+
+        chunk: [B, H*N_s] samples; returns [B, H*N_s] enhanced samples.
+        Output equals ``H`` sequential `step` calls to float rounding
+        (tests/test_streaming_mha.py); latency grows to ``H`` hops."""
+        x = normalise(chunk) if chunk.dtype != jnp.float32 else chunk
+        B = x.shape[0]
+        Hn = x.shape[1] // self.N_s
+        full = jnp.concatenate([state.wav_tail, x], axis=1)
+        wav_tail = full[:, Hn * self.N_s:]
+        # 50% overlap framing: frame i = full[i*N_s : i*N_s + N_d]
+        frames = jnp.stack(
+            [full[:, i * self.N_s: i * self.N_s + self.N_d]
+             for i in range(Hn)], axis=1)                     # [B, H, N_d]
+
+        Y = jnp.einsum("btn,nK->btK", frames, self.A)
+        re, im = Y[..., :self.nb], Y[..., self.nb:]
+        mag = jnp.sqrt(re * re + im * im)
+
+        kc, vc, xi_bar = self._net_step_block(state, mag)
+        xi_hat = self.it.xi_map.inverse(xi_bar)
+        G = gfunc(xi_hat, xi_hat + 1.0, self.gtype)
+        Yg = jnp.concatenate([re * G, im * G], axis=-1)
+        syn = jnp.einsum("btK,Kn->btn", Yg, self.S)           # [B, H, N_d]
+
+        # overlap-add across the block (N_d == 2*N_s): hop i's output is
+        # its first half plus the previous frame's second half.
+        heads = syn[..., :self.N_s]                           # [B, H, N_s]
+        tails = syn[..., self.N_s:]                           # [B, H, N_s]
+        prev = jnp.concatenate([state.ola_tail[:, None, :self.N_s],
+                                tails[:, :-1]], axis=1)
+        out = (heads + prev).reshape(B, Hn * self.N_s)
+        new_state = MHAStreamState(k_caches=kc, v_caches=vc, t=state.t + Hn,
+                                   wav_tail=wav_tail, ola_tail=tails[:, -1])
+        return new_state, out
+
     def step(self, state: MHAStreamState, chunk: jnp.ndarray
              ) -> Tuple[MHAStreamState, jnp.ndarray]:
         """Process one hop of audio: same wav contract as

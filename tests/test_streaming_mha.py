@@ -68,6 +68,60 @@ def test_step_by_step_equals_scan(it):
     np.testing.assert_allclose(np.concatenate(outs, axis=1), y1, atol=1e-5)
 
 
+@pytest.mark.parametrize("hop_batch", [2, 4, 5])
+def test_step_block_equals_sequential_steps(it, hop_batch):
+    """Chunked streaming (`step_block`, H hops per dispatch) must equal H
+    sequential `step` calls to float rounding — the network is feed-forward
+    over frames, so hop-batching only regroups the same math."""
+    net, params = make_net("MHANetV3")
+    rng = np.random.RandomState(4)
+    B = 2
+    n_hops = 2 * hop_batch + hop_batch  # a few blocks worth
+    x = (rng.randn(B, 256 * (n_hops + 1)) * 3000).astype(np.int16)
+    chunks = jnp.asarray(x).reshape(B, -1, 256)
+    sm = StreamingMHANet(it, net, params, "mmse-lsa")
+
+    state = sm.prime(sm.init_state(B), chunks[:, 0])
+    step = jax.jit(sm.step)
+    outs = []
+    for i in range(1, chunks.shape[1]):
+        state, y = step(state, chunks[:, i])
+        outs.append(np.asarray(y))
+    y_seq = np.concatenate(outs, axis=1)
+
+    state_b = sm.prime(sm.init_state(B), chunks[:, 0])
+    step_b = jax.jit(sm.step_block)
+    outs_b = []
+    for i in range(1, chunks.shape[1], hop_batch):
+        block = chunks[:, i: i + hop_batch].reshape(B, -1)
+        state_b, y = step_b(state_b, block)
+        outs_b.append(np.asarray(y))
+    y_blk = np.concatenate(outs_b, axis=1)
+    np.testing.assert_allclose(y_blk, y_seq, atol=2e-5)
+
+
+def test_step_block_matches_offline(it):
+    """Chunked streaming equals the offline fused pipeline end-to-end."""
+    net, params = make_net("MHANetV2")
+    rng = np.random.RandomState(5)
+    B, H = 2, 4
+    n_hops = 12
+    x = (rng.randn(B, 256 * n_hops) * 3000).astype(np.int16)
+    y_off = np.asarray(make_enhancer(it, net, "mmse-lsa")(params,
+                                                          jnp.asarray(x)))
+    sm = StreamingMHANet(it, net, params, "mmse-lsa")
+    chunks = jnp.asarray(x).reshape(B, -1, 256)
+    state = sm.prime(sm.init_state(B), chunks[:, 0])
+    rest = jnp.concatenate([chunks[:, 1:],
+                            jnp.zeros((B, 1, 256), chunks.dtype)], axis=1)
+    outs = []
+    for i in range(0, n_hops, H):
+        state, y = sm.step_block(state, rest[:, i: i + H].reshape(B, -1))
+        outs.append(np.asarray(y))
+    y_blk = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(y_blk, y_off[:, : n_hops * 256], atol=1e-5)
+
+
 def test_rejects_non_mha(it):
     net = network_selector("ResNetV2", 257, d_model=32, n_blocks=2, d_f=16,
                            k=3, max_d_rate=2, causal=True,
