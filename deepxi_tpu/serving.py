@@ -139,3 +139,93 @@ class EnhancerServer:
 
 def load_server(out_dir: str, mesh=None) -> EnhancerServer:
     return EnhancerServer(out_dir, mesh=mesh)
+
+
+def export_streaming(sm, out_dir: str, batch: int = 64,
+                     hop_batch: int = 1, ver: str = "model") -> list:
+    """Export a real-time streaming step as self-contained StableHLO.
+
+    ``sm`` is a `streaming.StreamingEnhancer` or `streaming.StreamingMHANet`
+    (weights closed over). Two artifacts are written:
+
+        stream_init.stablehlo   () -> zeroed stream state for ``batch``
+                                (a flat tuple of arrays)
+        stream_step.stablehlo   (state, int16[batch, hop_batch*N_s])
+                                -> (state, float32[batch, hop_batch*N_s])
+
+    ``hop_batch > 1`` exports the chunked `step_block` (MHANet only):
+    H hops per dispatch, H x 16 ms added latency, ~H x stream capacity
+    (see bench.bench_streaming_mha_capacity_chunked). The serving loop is
+    just ``state, y = step.call(state, chunk)`` — state stays on device,
+    no model code or re-trace at load time. No reference equivalent (the
+    reference cannot stream at all; ref: deepxi/model.py:286 whole-utterance
+    predict).
+    """
+    from jax import export as jexport
+
+    step_fn = sm.step
+    if hop_batch > 1:
+        if not hasattr(sm, "step_block"):
+            raise ValueError("hop_batch > 1 needs a chunked step_block "
+                             "(StreamingMHANet)")
+        step_fn = sm.step_block
+
+    os.makedirs(out_dir, exist_ok=True)
+    # The state crosses the artifact boundary as a FLAT tuple of arrays so
+    # the loading side needs no pytree registrations (no model code).
+    state0 = sm.init_state(batch)
+    treedef = jax.tree.structure(state0)
+    flat_sds = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                     for a in jax.tree.leaves(state0))
+    chunk_sds = jax.ShapeDtypeStruct((batch, hop_batch * sm.N_s), jnp.int16)
+
+    def init_flat():
+        return tuple(jax.tree.leaves(sm.init_state(batch)))
+
+    def step_flat(flat, chunk):
+        st, y = step_fn(jax.tree.unflatten(treedef, flat), chunk)
+        return tuple(jax.tree.leaves(st)), y
+
+    exp_init = jexport.export(jax.jit(init_flat))()
+    exp_step = jexport.export(jax.jit(step_flat))(flat_sds, chunk_sds)
+    paths = []
+    for name, exp in (("stream_init", exp_init), ("stream_step", exp_step)):
+        p = os.path.join(out_dir, f"{name}.stablehlo")
+        with open(p, "wb") as f:
+            f.write(exp.serialize())
+        paths.append(p)
+    manifest = {"ver": ver, "kind": "streaming", "batch": batch,
+                "hop_batch": hop_batch, "N_s": int(sm.N_s),
+                "platforms": [str(p) for p in exp_step.platforms]}
+    with open(os.path.join(out_dir, "stream_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return paths
+
+
+class StreamingServer:
+    """Loaded streaming bundle: ``init_state()`` then repeated
+    ``state, y = server.step(state, chunk)`` — chunk is int16
+    [B, hop_batch*N_s], output is the enhanced float hop(s)."""
+
+    def __init__(self, out_dir: str):
+        from jax import export as jexport
+
+        with open(os.path.join(out_dir, "stream_manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.batch = int(self.manifest["batch"])
+        self.hop_batch = int(self.manifest["hop_batch"])
+        self.N_s = int(self.manifest["N_s"])
+        with open(os.path.join(out_dir, "stream_init.stablehlo"), "rb") as f:
+            self._init = jexport.deserialize(f.read())
+        with open(os.path.join(out_dir, "stream_step.stablehlo"), "rb") as f:
+            self._step = jexport.deserialize(f.read())
+
+    def init_state(self):
+        return self._init.call()
+
+    def step(self, state, chunk):
+        return self._step.call(state, jnp.asarray(chunk, jnp.int16))
+
+
+def load_streaming_server(out_dir: str) -> StreamingServer:
+    return StreamingServer(out_dir)
