@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -125,7 +126,7 @@ def bench_mhanet_rtf(impl, B=None, seconds=10.0):
     matmuls at the mhanet preset's 'highest' (the bf16-DFT neutrality
     evidence was gathered on the resnet flagship only)."""
     if B is None:
-        B = 128 if impl == "fused" else 64
+        B = 128 if impl in ("fused", "fusedblock") else 64
     from deepxi_tpu.enhance import make_enhancer
     from deepxi_tpu.models import network_selector
 
@@ -133,9 +134,19 @@ def bench_mhanet_rtf(impl, B=None, seconds=10.0):
     it = _mag_xi(1)
     net = network_selector("MHANetV3", 257, d_model=256, n_blocks=5,
                            n_heads=8, causal=True, outp_act="Sigmoid",
-                           max_len=2048, attention_impl=impl, block_q=256)
+                           max_len=2048,
+                           attention_impl="fused" if impl == "fusedblock"
+                           else impl, block_q=256)
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 257)))
-    enhance = make_enhancer(it, net, "mmse-lsa")
+    apply_fn = None
+    if impl == "fusedblock":
+        # whole-transformer-block Pallas kernels (attention + LN + FFN +
+        # residuals in VMEM; ops/kernels/mha_block_fused.py)
+        from deepxi_tpu.ops.kernels.mha_block_fused import \
+            mhanetv3_apply_fused
+        apply_fn = lambda p, m: mhanetv3_apply_fused(
+            p, m, n_blocks=5, n_heads=8, d_model=256, max_len=2048)
+    enhance = make_enhancer(it, net, "mmse-lsa", apply_fn=apply_fn)
     x = jax.device_put(jnp.asarray(
         (np.random.RandomState(1).randn(B, n) * 3000).astype(np.int16)))
     dt = _time_fn(enhance, params, x, n_rep=10)
@@ -386,6 +397,27 @@ def bench_numerics():
         out[f"stoi_{name}"] = round(100.0 * stoi(s[:n], y[:n], f_s), 3)
     out["numerics_pesq_delta"] = round(out["pesq_fused"] - out["pesq_f32"], 4)
     out["numerics_stoi_delta"] = round(out["stoi_fused"] - out["stoi_f32"], 4)
+
+    # mhanet DFT-precision neutrality on ITS OWN trained artifact (the
+    # resnet evidence above cannot speak for the attention stack; this
+    # row evidences running the mhanet DFT matmuls at 'default' -- one
+    # bf16 pass -- instead of the 6-pass f32 emulation of 'highest')
+    from deepxi_tpu.compat.artifact import load_artifact
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "artifacts", "mhanet-1.1c-big2400-e400")
+    it2, net2, p2, noisy2, clean2 = load_artifact(root)
+    x2 = jnp.asarray(noisy2[None])
+    s2 = clean2.astype(np.float64) / 32768.0
+    for name, prec in (("mha_hi", "highest"), ("mha_default", "default")):
+        y = np.asarray(make_enhancer(it2, net2, "mmse-lsa",
+                                     precision=prec)(p2, x2))[0]
+        n2 = min(len(s2), len(y))
+        out[f"pesq_{name}"] = round(pesq(s2[:n2], y[:n2], f_s, "nb"), 4)
+        out[f"stoi_{name}"] = round(100.0 * stoi(s2[:n2], y[:n2], f_s), 3)
+    out["mha_dft_pesq_delta"] = round(
+        out["pesq_mha_default"] - out["pesq_mha_hi"], 4)
+    out["mha_dft_stoi_delta"] = round(
+        out["stoi_mha_default"] - out["stoi_mha_hi"], 4)
     return out
 
 
@@ -393,6 +425,8 @@ def main():
     rtf, roofline = bench_resnet_rtf()
     extra = dict(roofline)
     try:
+        extra["mhanet-1.1c_rtf_fusedblock"] = round(
+            bench_mhanet_rtf("fusedblock"), 2)
         extra["mhanet-1.1c_rtf_fused"] = round(bench_mhanet_rtf("fused"), 2)
         extra["mhanet-1.1c_rtf_full"] = round(bench_mhanet_rtf("full"), 2)
         extra["mhanet-1.1c_rtf_block"] = round(bench_mhanet_rtf("block"), 2)
