@@ -1,0 +1,206 @@
+"""Fully-fused MHANet transformer block (Pallas).
+
+`mha_fused.flash_attention` removed the [B, H, T, T] score traffic, but
+each MHANet block still round-trips five [B, T, 256] activations and one
+[B, T, 1024] FFN intermediate through HBM between the attention kernel
+and the XLA-side LN/FFN ops (~90 MB + ~330 MB per block at the bench
+point B=128, T=625). This kernel runs ONE WHOLE transformer block --
+QKVO attention, both residuals, both LayerNorms, and the 4x FFN -- per
+(batch row) grid cell with the full sequence resident in VMEM: per block
+the only HBM activation traffic left is read x + write out.
+
+Semantics: exactly MHANetV2/V3's block (flax twin in
+deepxi_tpu/models/attention.py:246-275; ref: deepxi/network/attention.py:
+278-385, tfa convention): scaled q, ``logits += -1e10 * (1 - mask)``
+with mask = valid_q & valid_k [& causal], full-row softmax, residual,
+LN(eps 1e-6, scale+bias), Dense(4d)+ReLU+Dense(d), residual, LN. Padded
+query rows (invalid frames) degrade to softmax(raw logits) exactly like
+the XLA path and are discarded by the caller.
+
+Whole-sequence VMEM residency caps T at ~1k frames (~16 s audio) like
+the TCN's whole-sequence kernel; longer audio keeps the flash_attention
+path (deepxi_tpu/ops/kernels/mha_fused.py) or sequence-parallel
+enhancement.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF_V2 = -1.0e10  # tfa's masking constant
+
+_PRECISION = jax.lax.Precision.DEFAULT
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_PRECISION)
+
+
+def _dot_qk(q, k):
+    """[T, d] x [S, d] -> [T, S] contraction over d (no transpose)."""
+    return jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_PRECISION)
+
+
+def _ln(x, scale, bias, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+class BlockWeights(NamedTuple):
+    """One MHANetV2/V3 transformer block (flax param layouts)."""
+    qk: jnp.ndarray    # [H, C, d_k] query kernel
+    kk: jnp.ndarray    # [H, C, d_k]
+    vk: jnp.ndarray    # [H, C, d_k]
+    ok: jnp.ndarray    # [H, d_k, C] output projection
+    ln1_s: jnp.ndarray  # [C]
+    ln1_b: jnp.ndarray  # [C]
+    ff1_w: jnp.ndarray  # [C, d_ff]
+    ff1_b: jnp.ndarray  # [d_ff]
+    ff2_w: jnp.ndarray  # [d_ff, C]
+    ff2_b: jnp.ndarray  # [C]
+    ln2_s: jnp.ndarray  # [C]
+    ln2_b: jnp.ndarray  # [C]
+
+
+def fused_transformer_block(x: jnp.ndarray, validf: jnp.ndarray,
+                            weights: BlockWeights, causal: bool,
+                            interpret: bool | None = None) -> jnp.ndarray:
+    """One whole transformer block in one Pallas kernel.
+
+    Args:
+      x: [B, Tp, C] block input, Tp a multiple of 128 (caller pads; padded
+         frames must be marked invalid).
+      validf: [B, 1, Tp] float 1/0 frame-validity (Keras Masking(0.0)
+         semantics, computed from the ORIGINAL network input).
+      weights: one block's parameters.
+      causal: lower-triangular masking.
+    Returns:
+      [B, Tp, C] block output.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    B, Tp, C = x.shape
+    H, _, dk = weights.qk.shape
+    scale = float(dk) ** -0.5
+
+    def kernel(x_ref, v_ref, qk_r, kk_r, vk_r, ok_r, ln1s_r, ln1b_r,
+               ff1w_r, ff1b_r, ff2w_r, ff2b_r, ln2s_r, ln2b_r, o_ref):
+        xx = x_ref[0]                      # [Tp, C]
+        vf = v_ref[0, 0]                   # [Tp]
+        m = vf[:, None] * vf[None, :]
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+            m = m * (cols <= rows).astype(jnp.float32)
+        add = NEG_INF_V2 * (1.0 - m)       # [Tp, Tp]
+
+        att = jnp.zeros((Tp, C), jnp.float32)
+        for h in range(H):
+            q = _dot(xx, qk_r[...][h]) * scale
+            k = _dot(xx, kk_r[...][h])
+            v = _dot(xx, vk_r[...][h])
+            logits = _dot_qk(q, k) + add
+            w = jax.nn.softmax(logits, axis=-1)
+            att = att + _dot(_dot(w, v), ok_r[...][h])
+
+        x1 = _ln(xx + att, ln1s_r[...][0], ln1b_r[...][0])
+        f = jax.nn.relu(_dot(x1, ff1w_r[...]) + ff1b_r[...][0])
+        x2 = _ln(x1 + _dot(f, ff2w_r[...]) + ff2b_r[...][0],
+                 ln2s_r[...][0], ln2b_r[...][0])
+        o_ref[0] = x2
+
+    w_specs, w_args = [], []
+    for arr in weights:
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        w_specs.append(pl.BlockSpec(arr.shape, lambda b, n=arr.ndim: (0,) * n,
+                                    memory_space=pltpu.VMEM))
+        w_args.append(arr)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Tp, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tp), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((1, Tp, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, C), jnp.float32),
+        interpret=interpret,
+    )(x, validf, *w_args)
+    return out
+
+
+def mhanetv3_apply_fused(params, x: jnp.ndarray, n_blocks: int = 5,
+                         n_heads: int = 8, d_model: int = 256,
+                         max_len: int = 2048, causal: bool = True,
+                         outp_act: str = "Sigmoid",
+                         whole_max_t: int = 1024) -> jnp.ndarray:
+    """MHANetV3 forward with every transformer block running as one fused
+    Pallas kernel. Drop-in equivalent of `MHANetV3.apply` for the flagship
+    configuration (mhanet-1.1c); sequences longer than ``whole_max_t``
+    frames fall back to the flax module's fused-attention path.
+
+    Args:
+      params: the flax param dict of MHANetV3.
+      x: [B, T, F] network input (padded frames all-zero).
+    """
+    from deepxi_tpu.models.attention import sequence_valid_mask
+
+    B, T, F = x.shape
+    p = params["params"]
+
+    if T > whole_max_t:  # pragma: no cover - long-audio fallback
+        from deepxi_tpu.models import network_selector
+        net = network_selector("MHANetV3", p["out_conv"]["bias"].shape[0],
+                               d_model=d_model, n_blocks=n_blocks,
+                               n_heads=n_heads, causal=causal,
+                               outp_act=outp_act, max_len=max_len,
+                               attention_impl="fused")
+        return net.apply(params, x)
+
+    valid = sequence_valid_mask(x).astype(jnp.float32)
+
+    h = _dot(x, p["in_conv"]["kernel"][0])  # use_bias=False
+    h = _ln(h, p["in_ln"]["scale"], p["in_ln"]["bias"])
+    h = jax.nn.relu(h)
+    pos = jnp.arange(T) % max_len
+    h = h + p["pos_emb"]["embedding"][pos][None]
+
+    Tp = -(-T // 128) * 128
+    if Tp != T:
+        h = jnp.pad(h, ((0, 0), (0, Tp - T), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, Tp - T)))
+    vf = valid[:, None, :]
+
+    for i in range(n_blocks):
+        bw = BlockWeights(
+            qk=p[f"block{i}_mha"]["query_kernel"],
+            kk=p[f"block{i}_mha"]["key_kernel"],
+            vk=p[f"block{i}_mha"]["value_kernel"],
+            ok=p[f"block{i}_mha"]["projection_kernel"],
+            ln1_s=p[f"block{i}_ln1"]["scale"], ln1_b=p[f"block{i}_ln1"]["bias"],
+            ff1_w=p[f"block{i}_ff1"]["kernel"], ff1_b=p[f"block{i}_ff1"]["bias"],
+            ff2_w=p[f"block{i}_ff2"]["kernel"], ff2_b=p[f"block{i}_ff2"]["bias"],
+            ln2_s=p[f"block{i}_ln2"]["scale"], ln2_b=p[f"block{i}_ln2"]["bias"])
+        h = fused_transformer_block(h, vf, bw, causal)
+
+    h = h[:, :T]
+    out = _dot(h, p["out_conv"]["kernel"][0]) + p["out_conv"]["bias"]
+    from deepxi_tpu.models.tcn import output_activation
+    return output_activation(out, outp_act)

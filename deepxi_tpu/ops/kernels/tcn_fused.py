@@ -57,6 +57,7 @@ def _dot(a, b):
 def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
                             dilations: Sequence[int], k: int = 3,
                             batch_group: int = 1,
+                            stack_taps: bool = False,
                             interpret: bool | None = None) -> jnp.ndarray:
     """Apply a group of causal ReLU->LN->W+b bottleneck blocks in one Pallas
     kernel with the WHOLE sequence resident in VMEM (no time tiling).
@@ -77,6 +78,14 @@ def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
     Kept because the flattening is free at bg=1 and the knob documents the
     experiment; default stays 1.
 
+    stack_taps=True runs the causal dilated conv as ONE [M, k*d_f] @
+    [k*d_f, d_f] matmul over the tap-concatenated input instead of k
+    accumulated [M, d_f] @ [d_f, d_f] matmuls. Identical numerics up to
+    f32-accumulator summation order; fewer, K-deeper MXU passes (k=3,
+    d_f=64: ceil(192/128)=2 passes vs 3) against a VPU concat of the
+    shifted slices -- whether the trade pays is measured on hardware
+    (tools/bench_stack_taps.py).
+
     Args/returns as `fused_block_group`.
     """
     from jax.experimental import pallas as pl
@@ -84,6 +93,11 @@ def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    if stack_taps:
+        # pre-stack conv taps host-side: [k, d_f, d_f] -> [k*d_f, d_f]
+        weights = [bw._replace(w2=bw.w2.reshape(-1, bw.w2.shape[-1]))
+                   for bw in weights]
 
     B, T, C = x.shape
     G = len(weights)
@@ -109,11 +123,16 @@ def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
             df = a2.shape[-1]
             a2p = jnp.pad(a2.reshape(Bg, Tpad, df),
                           ((0, 0), (reach, 0), (0, 0)))
-            y = _dot(a2p[:, (k - 1) * d:(k - 1) * d + W]
-                     .reshape(Bg * W, df), w2[...][k - 1])
-            for j in range(k - 1):
-                y = y + _dot(a2p[:, j * d: j * d + W].reshape(Bg * W, df),
-                             w2[...][j])
+            if stack_taps:
+                cat = jnp.concatenate(
+                    [a2p[:, j * d: j * d + W] for j in range(k)], axis=-1)
+                y = _dot(cat.reshape(Bg * W, k * df), w2[...])
+            else:
+                y = _dot(a2p[:, (k - 1) * d:(k - 1) * d + W]
+                         .reshape(Bg * W, df), w2[...][k - 1])
+                for j in range(k - 1):
+                    y = y + _dot(a2p[:, j * d: j * d + W].reshape(Bg * W, df),
+                                 w2[...][j])
             y = y + b2[...][0]
             a3 = _ln(jax.nn.relu(y))
             h = h + _dot(a3, w3[...][0]) + b3[...][0]
@@ -249,6 +268,7 @@ def resnetv2_apply_fused(params, x: jnp.ndarray, n_blocks: int = 40,
                          max_d_rate: int = 16, k: int = 3,
                          group: int = 20, tile_t: int = 640,
                          whole_max_t: int = 1024, batch_group: int = 1,
+                         stack_taps: bool = False,
                          outp_act: str = "Sigmoid") -> jnp.ndarray:
     """ResNetV2 forward (causal, ReLU->LN->W+b, Sigmoid) with the block
     stack running through fused Pallas group kernels. Drop-in equivalent of
@@ -277,7 +297,8 @@ def resnetv2_apply_fused(params, x: jnp.ndarray, n_blocks: int = 40,
         ) for i in idx]
         if whole:
             h = fused_block_group_whole(h, weights, [dil[i] for i in idx],
-                                        k=k, batch_group=batch_group)
+                                        k=k, batch_group=batch_group,
+                                        stack_taps=stack_taps)
         else:
             h = fused_block_group(h, weights, [dil[i] for i in idx], k=k,
                                   tile_t=tile_t)
