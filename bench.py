@@ -123,8 +123,9 @@ def bench_mhanet_rtf(impl, B=None, seconds=10.0):
     32 -> 22.4k, 64 -> 23.4k (knee 64); fused 64 -> 33.6k, 96 -> 35.0k,
     128 -> 35.6k, 192 -> 31.0k (knee 128 -- with the O(T^2) HBM scores
     eliminated the pipeline feeds bigger batches before saturating). DFT
-    matmuls at the mhanet preset's 'highest' (the bf16-DFT neutrality
-    evidence was gathered on the resnet flagship only)."""
+    matmuls at 'default' like the preset: measured quality-neutral on the
+    trained mhanet artifact (bench_numerics: PESQ delta +0.0001,
+    STOI delta -0.008 pp)."""
     if B is None:
         B = 128 if impl in ("fused", "fusedblock") else 64
     from deepxi_tpu.enhance import make_enhancer
@@ -146,7 +147,8 @@ def bench_mhanet_rtf(impl, B=None, seconds=10.0):
             mhanetv3_apply_fused
         apply_fn = lambda p, m: mhanetv3_apply_fused(
             p, m, n_blocks=5, n_heads=8, d_model=256, max_len=2048)
-    enhance = make_enhancer(it, net, "mmse-lsa", apply_fn=apply_fn)
+    enhance = make_enhancer(it, net, "mmse-lsa", apply_fn=apply_fn,
+                            precision="default")
     x = jax.device_put(jnp.asarray(
         (np.random.RandomState(1).randn(B, n) * 3000).astype(np.int16)))
     dt = _time_fn(enhance, params, x, n_rep=10)

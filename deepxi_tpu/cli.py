@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "of --test_epoch to StableHLO artifacts")
     p.add_argument("--export_path", type=str, default=None)
     p.add_argument("--prelim", type=str_to_bool, default=False)
+    # artifact serving: enhance wavs straight from a checked-in artifact
+    # (tools/make_artifact.py output) -- no work dir, stats, or set layout
+    p.add_argument("--enhance", type=str, default=None,
+                   help="artifact dir; enhance --in_wavs into --out_dir")
+    p.add_argument("--in_wavs", type=str, nargs="+", default=None,
+                   help="wav files, dirs, or globs to enhance")
+    p.add_argument("--out_dir", type=str, default="enhanced")
     p.add_argument("--sd_snr_levels", type=str_to_list, default=None)
     p.add_argument("--sd_target", type=str_to_list, default=None,
                    help="spectral-distortion target(s): xi and/or gamma")
@@ -125,7 +132,63 @@ def config_from_args(argv: Optional[List[str]] = None) -> Config:
     return base.replace(**overrides)
 
 
+def run_artifact_enhance(artifact: str, in_wavs: List[str], out_dir: str,
+                         gain: str) -> int:
+    """One-command serving from a checked-in artifact: wavs in, enhanced
+    wavs out. No training-work directory, stats bootstrap, or set layout
+    needed (the reference always requires its full data/model/log tree,
+    ref: deepxi/model.py:44-100)."""
+    import glob
+    import os
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from deepxi_tpu.compat.artifact import load_artifact
+    from deepxi_tpu.data.wavio import read_wav, save_wav
+    from deepxi_tpu.enhance import make_enhancer
+
+    paths: List[str] = []
+    for pat in in_wavs or []:
+        if os.path.isdir(pat):
+            paths += [os.path.join(pat, f) for f in sorted(os.listdir(pat))
+                      if f.endswith((".wav", ".flac"))]
+        elif any(c in pat for c in "*?["):
+            paths += sorted(glob.glob(pat))
+        else:
+            paths.append(pat)
+    if not paths:
+        print("--enhance needs --in_wavs (files, dirs, or globs)")
+        return 1
+
+    it, net, params, _, _ = load_artifact(artifact)
+    enhance = jax.jit(make_enhancer(it, net, gain))
+    wavs, rates = zip(*(read_wav(p) for p in paths))
+    lens = [len(w) for w in wavs]
+    L = -(-max(lens) // it.N_s) * it.N_s
+    x = np.zeros((len(wavs), L), np.int16)
+    for i, w in enumerate(wavs):
+        x[i, : len(w)] = w
+    y = np.asarray(enhance(params, jnp.asarray(x)))
+    os.makedirs(out_dir, exist_ok=True)
+    for i, p in enumerate(paths):
+        out = os.path.join(out_dir, os.path.basename(p))
+        save_wav(out, y[i, : lens[i]], rates[i])
+    print(f"wrote {len(paths)} enhanced wavs to {out_dir}")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.enhance:
+        if args.platform:
+            import jax
+            jax.config.update("jax_platforms", args.platform)
+        gain = args.gain[0] if isinstance(args.gain, list) and args.gain \
+            else (args.gain or "mmse-lsa")
+        return run_artifact_enhance(args.enhance, args.in_wavs, args.out_dir,
+                                    gain)
     cfg = config_from_args(argv)
     print(f"Version: {cfg.ver} ({cfg.network_type}, {cfg.inp_tgt_type})")
 

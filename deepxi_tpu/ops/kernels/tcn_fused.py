@@ -124,8 +124,15 @@ def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
             a2p = jnp.pad(a2.reshape(Bg, Tpad, df),
                           ((0, 0), (reach, 0), (0, 0)))
             if stack_taps:
-                cat = jnp.concatenate(
-                    [a2p[:, j * d: j * d + W] for j in range(k)], axis=-1)
+                # lane-pad each shifted slice into its band and sum
+                # (Mosaic rejects concatenating slices whose sublane
+                # offsets differ: "result/input offset mismatch on
+                # non-concat dimension"; pad+add lowers cleanly)
+                cat = jnp.pad(a2p[:, :W], ((0, 0), (0, 0), (0, (k - 1) * df)))
+                for j in range(1, k):
+                    cat = cat + jnp.pad(
+                        a2p[:, j * d: j * d + W],
+                        ((0, 0), (0, 0), (j * df, (k - 1 - j) * df)))
                 y = _dot(cat.reshape(Bg * W, k * df), w2[...])
             else:
                 y = _dot(a2p[:, (k - 1) * d:(k - 1) * d + W]

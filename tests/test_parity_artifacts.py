@@ -156,3 +156,36 @@ class TestCheckedInTrainedArtifact:
         p_noisy = pesq(s[:n], x[:n], 16000, "nb")
         p_enh = pesq(s[:n], y[:n], 16000, "nb")
         assert p_enh > p_noisy + 0.3, (p_noisy, p_enh)
+
+
+class TestMhanetArtifactAndCLI:
+    """The generic meta.json artifact loader (tools/make_artifact.py
+    output) and the --enhance one-command serving path."""
+
+    ROOT = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "mhanet-1.1c-big2400-e400")
+
+    def test_load_artifact_param_count(self):
+        from deepxi_tpu.compat.artifact import load_artifact
+
+        it, net, params, noisy, clean = load_artifact(self.ROOT)
+        # mhanet-1.1c parity count (ref: log/summary/mhanet-1.1c.txt)
+        assert sum(l.size for l in jax.tree_util.tree_leaves(params)) == 4600321
+
+    def test_cli_enhance_from_artifact(self, tmp_path):
+        from deepxi_tpu.cli import main
+        from deepxi_tpu.data.wavio import read_wav
+        from deepxi_tpu.metrics.pesq import pesq
+
+        noisy_path = os.path.join(self.ROOT, "c012_white_5dB.wav")
+        rc = main(["--enhance", self.ROOT, "--in_wavs", noisy_path,
+                   "--out_dir", str(tmp_path)])
+        assert rc == 0
+        y, f_s = read_wav(str(tmp_path / "c012_white_5dB.wav"))
+        clean, _ = read_wav(os.path.join(self.ROOT, "c012.wav"))
+        x, _ = read_wav(noisy_path)
+        s = clean.astype(np.float64) / 32768.0
+        n = min(len(s), len(y))
+        p_noisy = pesq(s[:n], x[:n].astype(np.float64) / 32768.0, 16000, "nb")
+        p_enh = pesq(s[:n], y[:n].astype(np.float64) / 32768.0, 16000, "nb")
+        assert p_enh > p_noisy + 0.3, (p_noisy, p_enh)

@@ -39,9 +39,11 @@ def main(B=128, seconds=10.0, rounds=7, reps=6) -> int:
     apply_fb = lambda p, m: mhanetv3_apply_fused(
         p, m, n_blocks=5, n_heads=8, d_model=256, max_len=2048)
     enh = {
-        "fused": jax.jit(make_enhancer(it, net, "mmse-lsa")),
+        "fused": jax.jit(make_enhancer(it, net, "mmse-lsa",
+                                       precision="default")),
         "fusedblock": jax.jit(make_enhancer(it, net, "mmse-lsa",
-                                            apply_fn=apply_fb)),
+                                            apply_fn=apply_fb,
+                                            precision="default")),
     }
     x = jax.device_put(jnp.asarray(
         (np.random.RandomState(1).randn(B, n) * 3000).astype(np.int16)))
