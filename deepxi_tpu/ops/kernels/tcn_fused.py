@@ -57,7 +57,6 @@ def _dot(a, b):
 def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
                             dilations: Sequence[int], k: int = 3,
                             batch_group: int = 1,
-                            stack_taps: bool = False,
                             interpret: bool | None = None) -> jnp.ndarray:
     """Apply a group of causal ReLU->LN->W+b bottleneck blocks in one Pallas
     kernel with the WHOLE sequence resident in VMEM (no time tiling).
@@ -78,13 +77,16 @@ def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
     Kept because the flattening is free at bg=1 and the knob documents the
     experiment; default stays 1.
 
-    stack_taps=True runs the causal dilated conv as ONE [M, k*d_f] @
-    [k*d_f, d_f] matmul over the tap-concatenated input instead of k
-    accumulated [M, d_f] @ [d_f, d_f] matmuls. Identical numerics up to
-    f32-accumulator summation order; fewer, K-deeper MXU passes (k=3,
-    d_f=64: ceil(192/128)=2 passes vs 3) against a VPU concat of the
-    shifted slices -- whether the trade pays is measured on hardware
-    (tools/bench_stack_taps.py).
+    NEGATIVE RESULT (tap stacking, tried 2026-08, round 3): running the
+    dilated conv as ONE [M, k*d_f] @ [k*d_f, d_f] matmul over a
+    tap-stacked input (fewer, K-deeper MXU passes: ceil(192/128)=2 vs 3,
+    est. ~14% fewer MXU cycles/block) cannot be expressed in Mosaic for
+    this kernel: the k shifted slices of the per-row padded input live at
+    sublane offsets j*d (d in {1, 2, 4}), and BOTH lane-dim concatenate
+    and band-pad+add of such slices are rejected with "result/input
+    offset mismatch on non-concat dimension". A per-tap realignment copy
+    would cost more VPU traffic than the MXU saving, so the accumulated
+    per-tap matmuls below stay.
 
     Args/returns as `fused_block_group`.
     """
@@ -93,11 +95,6 @@ def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-
-    if stack_taps:
-        # pre-stack conv taps host-side: [k, d_f, d_f] -> [k*d_f, d_f]
-        weights = [bw._replace(w2=bw.w2.reshape(-1, bw.w2.shape[-1]))
-                   for bw in weights]
 
     B, T, C = x.shape
     G = len(weights)
@@ -123,23 +120,11 @@ def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
             df = a2.shape[-1]
             a2p = jnp.pad(a2.reshape(Bg, Tpad, df),
                           ((0, 0), (reach, 0), (0, 0)))
-            if stack_taps:
-                # lane-pad each shifted slice into its band and sum
-                # (Mosaic rejects concatenating slices whose sublane
-                # offsets differ: "result/input offset mismatch on
-                # non-concat dimension"; pad+add lowers cleanly)
-                cat = jnp.pad(a2p[:, :W], ((0, 0), (0, 0), (0, (k - 1) * df)))
-                for j in range(1, k):
-                    cat = cat + jnp.pad(
-                        a2p[:, j * d: j * d + W],
-                        ((0, 0), (0, 0), (j * df, (k - 1 - j) * df)))
-                y = _dot(cat.reshape(Bg * W, k * df), w2[...])
-            else:
-                y = _dot(a2p[:, (k - 1) * d:(k - 1) * d + W]
-                         .reshape(Bg * W, df), w2[...][k - 1])
-                for j in range(k - 1):
-                    y = y + _dot(a2p[:, j * d: j * d + W].reshape(Bg * W, df),
-                                 w2[...][j])
+            y = _dot(a2p[:, (k - 1) * d:(k - 1) * d + W]
+                     .reshape(Bg * W, df), w2[...][k - 1])
+            for j in range(k - 1):
+                y = y + _dot(a2p[:, j * d: j * d + W].reshape(Bg * W, df),
+                             w2[...][j])
             y = y + b2[...][0]
             a3 = _ln(jax.nn.relu(y))
             h = h + _dot(a3, w3[...][0]) + b3[...][0]
@@ -275,7 +260,6 @@ def resnetv2_apply_fused(params, x: jnp.ndarray, n_blocks: int = 40,
                          max_d_rate: int = 16, k: int = 3,
                          group: int = 20, tile_t: int = 640,
                          whole_max_t: int = 1024, batch_group: int = 1,
-                         stack_taps: bool = False,
                          outp_act: str = "Sigmoid") -> jnp.ndarray:
     """ResNetV2 forward (causal, ReLU->LN->W+b, Sigmoid) with the block
     stack running through fused Pallas group kernels. Drop-in equivalent of
@@ -304,8 +288,7 @@ def resnetv2_apply_fused(params, x: jnp.ndarray, n_blocks: int = 40,
         ) for i in idx]
         if whole:
             h = fused_block_group_whole(h, weights, [dil[i] for i in idx],
-                                        k=k, batch_group=batch_group,
-                                        stack_taps=stack_taps)
+                                        k=k, batch_group=batch_group)
         else:
             h = fused_block_group(h, weights, [dil[i] for i in idx], k=k,
                                   tile_t=tile_t)

@@ -46,15 +46,6 @@ def test_matches_flax_whole(setup, group):
     np.testing.assert_allclose(y, y_ref, atol=5e-4)
 
 
-def test_matches_flax_whole_stack_taps(setup):
-    """Tap-stacked dilated conv (one [M, k*d_f] matmul instead of k
-    accumulated ones) is equivalent up to f32 accumulation order."""
-    net, params, x, y_ref = setup
-    y = np.asarray(resnetv2_apply_fused(params, x, n_blocks=10, max_d_rate=4,
-                                        stack_taps=True))
-    np.testing.assert_allclose(y, y_ref, atol=5e-4)
-
-
 @pytest.mark.parametrize("batch_group", [2, 3])
 def test_matches_flax_whole_batch_grouped(setup, batch_group):
     """batch_group > 1 (multi-row grid cells; includes a non-divisor of B
