@@ -612,17 +612,17 @@ class DeepXiTPU:
             # forward-only Pallas kernel: inference clones the module
             # (training keeps the differentiable full path)
             network = network.clone(attention_impl="fused")
-            if cfg.network_type == "MHANetV3":
-                # whole-transformer-block kernel (attention + LNs + FFN +
-                # residuals in VMEM): 1.41x over per-op fused attention at
-                # the bench point; sequences beyond ~16 s fall back to the
-                # flash-attention module inside the apply_fn
-                from deepxi_tpu.ops.kernels.mha_block_fused import \
-                    mhanetv3_apply_fused
-                apply_fn = (lambda p, m: mhanetv3_apply_fused(
-                    p, m, n_blocks=cfg.n_blocks, n_heads=cfg.n_heads,
-                    d_model=cfg.d_model, max_len=cfg.max_len,
-                    causal=cfg.causal, outp_act=cfg.outp_act))
+            # whole-transformer-block kernel (attention + LNs + FFN +
+            # residuals in VMEM): 1.41x over per-op fused attention at
+            # the bench point; sequences beyond ~16 s fall back to the
+            # flash-attention module inside the apply_fn
+            from deepxi_tpu.ops.kernels.mha_block_fused import \
+                mhanetv3_apply_fused
+            apply_fn = (lambda p, m: mhanetv3_apply_fused(
+                p, m, n_blocks=cfg.n_blocks, n_heads=cfg.n_heads,
+                d_model=cfg.d_model, max_len=cfg.max_len or 2048,
+                causal=cfg.causal, outp_act=cfg.outp_act,
+                positional=cfg.network_type == "MHANetV3"))
         return network, apply_fn
 
     def _fast_enhancer(self, g: str):

@@ -150,14 +150,17 @@ def mhanetv3_apply_fused(params, x: jnp.ndarray, n_blocks: int = 5,
                          n_heads: int = 8, d_model: int = 256,
                          max_len: int = 2048, causal: bool = True,
                          outp_act: str = "Sigmoid",
+                         positional: bool = True,
                          whole_max_t: int = 1024) -> jnp.ndarray:
     """MHANetV3 forward with every transformer block running as one fused
     Pallas kernel. Drop-in equivalent of `MHANetV3.apply` for the flagship
-    configuration (mhanet-1.1c); sequences longer than ``whole_max_t``
-    frames fall back to the flax module's fused-attention path.
+    configuration (mhanet-1.1c); `positional=False` makes it MHANetV2
+    (mhanet-1.0c: no learned positional embedding); sequences longer than
+    ``whole_max_t`` frames fall back to the flax module's fused-attention
+    path.
 
     Args:
-      params: the flax param dict of MHANetV3.
+      params: the flax param dict of MHANetV3 (or V2 with positional=False).
       x: [B, T, F] network input (padded frames all-zero).
     """
     from deepxi_tpu.models.attention import sequence_valid_mask
@@ -167,11 +170,12 @@ def mhanetv3_apply_fused(params, x: jnp.ndarray, n_blocks: int = 5,
 
     if T > whole_max_t:  # pragma: no cover - long-audio fallback
         from deepxi_tpu.models import network_selector
-        net = network_selector("MHANetV3", p["out_conv"]["bias"].shape[0],
+        net = network_selector("MHANetV3" if positional else "MHANetV2",
+                               p["out_conv"]["bias"].shape[0],
                                d_model=d_model, n_blocks=n_blocks,
                                n_heads=n_heads, causal=causal,
-                               outp_act=outp_act, max_len=max_len,
-                               attention_impl="fused")
+                               outp_act=outp_act, attention_impl="fused",
+                               **({"max_len": max_len} if positional else {}))
         return net.apply(params, x)
 
     valid = sequence_valid_mask(x).astype(jnp.float32)
@@ -179,8 +183,9 @@ def mhanetv3_apply_fused(params, x: jnp.ndarray, n_blocks: int = 5,
     h = _dot(x, p["in_conv"]["kernel"][0])  # use_bias=False
     h = _ln(h, p["in_ln"]["scale"], p["in_ln"]["bias"])
     h = jax.nn.relu(h)
-    pos = jnp.arange(T) % max_len
-    h = h + p["pos_emb"]["embedding"][pos][None]
+    if positional:
+        pos = jnp.arange(T) % max_len
+        h = h + p["pos_emb"]["embedding"][pos][None]
 
     Tp = -(-T // 128) * 128
     if Tp != T:

@@ -58,3 +58,16 @@ def test_long_sequence_falls_back(setup):
                                         d_model=32, max_len=128,
                                         whole_max_t=32))
     np.testing.assert_allclose(y[0], y_ref[0], atol=1e-4)
+
+
+def test_matches_flax_v2_no_positional(setup):
+    """positional=False reproduces MHANetV2 (mhanet-1.0c: no pos_emb)."""
+    net_v2 = network_selector("MHANetV2", 17, d_model=32, n_blocks=2,
+                              n_heads=4, causal=True, outp_act="Sigmoid")
+    _, _, x, valid = setup
+    params = net_v2.init(jax.random.PRNGKey(2), x)
+    y_ref = np.asarray(net_v2.apply(params, x))
+    y = np.asarray(mhanetv3_apply_fused(params, x, n_blocks=2, n_heads=4,
+                                        d_model=32, positional=False))
+    for b, t in valid:
+        np.testing.assert_allclose(y[b, :t], y_ref[b, :t], atol=1e-4)
