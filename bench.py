@@ -155,7 +155,7 @@ def bench_mhanet_rtf(impl, B=None, seconds=10.0):
     return B * (n / f_s) / dt
 
 
-def bench_train_step(B=8, seconds=4.096, fused=False):
+def bench_train_step(B=8, seconds=4.096, fused=False, network="resnet"):
     """Fused train-step throughput (mix+STFT+targets+fwd+bwd+Adam in one
     jit) on the flagship topology: steps/s and audio-seconds/s. With
     fused=True the forward/backward run through the custom-VJP Pallas TCN
@@ -163,16 +163,25 @@ def bench_train_step(B=8, seconds=4.096, fused=False):
     3 reps -- single runs swing +-30% with this environment's dispatch
     jitter): B=8 fused wins every rep, median 69.8 -> 75.4 steps/s
     (~1.08x full step); isolated fwd+bwd with save_acts is 3.40 vs
-    3.80 ms at B=8 and 6.29 vs 7.53 ms at B=32 (1.12-1.20x)."""
+    3.80 ms at B=8 and 6.29 vs 7.53 ms at B=32 (1.12-1.20x).
+    network="mhanet" trains the attention flagship instead (full
+    differentiable attention + Transformer schedule, as the trainer
+    does)."""
     from deepxi_tpu.models import network_selector
     from deepxi_tpu.training import TrainState, make_optimizer, make_train_step
 
     n = int(f_s * seconds) // N_s * N_s
     it = _mag_xi(2)
-    net = network_selector("ResNetV2", 257, d_model=256, n_blocks=40, d_f=64,
-                           k=3, max_d_rate=16, causal=True,
-                           unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
-    tx = make_optimizer("ResNetV2")
+    if network == "mhanet":
+        net = network_selector("MHANetV3", 257, d_model=256, n_blocks=5,
+                               n_heads=8, causal=True, outp_act="Sigmoid",
+                               max_len=2048)
+        tx = make_optimizer("MHANetV3", 256, 40000)
+    else:
+        net = network_selector("ResNetV2", 257, d_model=256, n_blocks=40,
+                               d_f=64, k=3, max_d_rate=16, causal=True,
+                               unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
+        tx = make_optimizer("ResNetV2")
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((B, n // N_s, 257)))
     state = TrainState.create(params, tx)
     apply_fn = None
@@ -441,6 +450,9 @@ def main():
         steps_f, audio_f = bench_train_step(fused=True)
         extra["train_steps_per_sec_fused"] = round(steps_f, 2)
         extra["train_audio_sec_per_sec_fused"] = round(audio_f, 2)
+        steps_m, audio_m = bench_train_step(network="mhanet")
+        extra["train_steps_per_sec_mhanet"] = round(steps_m, 2)
+        extra["train_audio_sec_per_sec_mhanet"] = round(audio_m, 2)
     except Exception as e:  # pragma: no cover
         extra["train_error"] = str(e)[:200]
     try:
