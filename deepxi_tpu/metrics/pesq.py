@@ -115,6 +115,11 @@ def _fix_power_level(data: np.ndarray, n: int, max_n: int, cfg: _Cfg) -> np.ndar
     filtered = _apply_filter_fft(data, n - 2 * cfg.sb + cfg.pad, _ALIGN_FILTER_DB, cfg)
     p = _pow_of(filtered, cfg.sb, max_n - cfg.sb + cfg.pad,
                 max_n - 2 * cfg.sb + cfg.pad)
+    if p <= 0.0:
+        # P.862 is undefined on a silent signal; raise the same error
+        # class the scorer already skips per-metric (an all-zero enhanced
+        # output must not kill a whole campaign scoring pass)
+        raise ValueError("PESQ: zero band power (silent signal)")
     return data * math.sqrt(1e7 / p)
 
 

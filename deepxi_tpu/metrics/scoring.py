@@ -33,11 +33,19 @@ def score_utterance(s: np.ndarray, y: np.ndarray, fs: int) -> Dict[str, float]:
             import warnings
             warnings.warn(f"{key} unavailable for a {len(s)}-sample "
                           f"utterance: {exc}")
-    pesq_nb = pesq(s, y, fs, mode="nb")
-    out["MOS-LQO"] = pesq(s, y, fs, mode="wb")
+    try:
+        pesq_nb = pesq(s, y, fs, mode="nb")
+        out["MOS-LQO"] = pesq(s, y, fs, mode="wb")
+    except ValueError as exc:  # silent/degenerate signal: P.862 undefined
+        import warnings
+        warnings.warn(f"PESQ unavailable for an utterance: {exc}")
+        pesq_nb = float("nan")  # NaN propagates through the PESQ-derived
+        # composites (CSIG/CBAK/COVL); the pure signal metrics
+        # (SegSNR/SNR/LLR/WSS) still score and NaNs are dropped below
     comp = composite(s, y, fs, pesq_mos=pesq_nb)
     for m in ("PESQ", "CSIG", "CBAK", "COVL", "SegSNR", "SNR"):
-        out[m] = comp[m]
+        if np.isfinite(comp[m]):
+            out[m] = comp[m]
     return out
 
 

@@ -167,3 +167,25 @@ class TestQualityInternals:
         x = np.convolve(rng.randn(n), np.ones(8) / 8, mode="same")
         y = rng.randn(n)
         assert llr(x, y, 16000) > 0.5
+
+
+class TestDegenerateSignals:
+    """A silent/degenerate enhanced output must not kill a campaign
+    scoring pass: PESQ (P.862 undefined on silence) raises ValueError,
+    score_utterance skips the PESQ-derived metrics and keeps the pure
+    signal ones (found when a freshly-trained MagSMM produced an all-zero
+    utterance mid-campaign)."""
+
+    def test_zero_enhanced_scores_gracefully(self):
+        import warnings
+
+        from deepxi_tpu.metrics.scoring import score_utterance
+
+        rng = np.random.RandomState(0)
+        s = rng.randn(32000) * 0.1
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            out = score_utterance(s, np.zeros(32000), 16000)
+        assert "PESQ" not in out and "CSIG" not in out
+        for k in ("SegSNR", "SNR", "STOI"):
+            assert k in out and np.isfinite(out[k])
