@@ -42,11 +42,20 @@ def conv1d(features: int, k: int, d_rate: int, causal: bool, use_bias: bool,
 
 
 def output_activation(x: jnp.ndarray, outp_act: str) -> jnp.ndarray:
-    """Shared output head activation (ref: deepxi/network/tcn.py:58-61)."""
+    """Shared output head activation (ref: deepxi/network/tcn.py:58-61).
+
+    Softplus is an extension beyond the reference's Sigmoid/ReLU/Linear
+    taxonomy: a ReLU output head on a non-negative unbounded target
+    (MagSMM's [0, 5] mask) can die at initialisation -- all-negative
+    preactivations give exactly-zero gradients and the model collapses to
+    silence (observed: MSE pinned at the zero-prediction floor from
+    epoch 1). Softplus is its smooth strictly-positive stand-in."""
     if outp_act == "Sigmoid":
         return nn.sigmoid(x)
     if outp_act == "ReLU":
         return nn.relu(x)
+    if outp_act == "Softplus":
+        return nn.softplus(x)
     if outp_act == "Linear":
         return x
     raise ValueError(f"Invalid outp_act: {outp_act!r}")

@@ -123,3 +123,16 @@ class TestMasking:
         x3 = jnp.concatenate([x[:, :16], jnp.zeros((1, 10, 257))], axis=1)
         y3 = np.asarray(net.apply(p, x3))
         np.testing.assert_allclose(y0[0, :16], y3[0, :16], atol=1e-5)
+
+
+def test_output_activation_softplus():
+    """Softplus head (extension beyond the reference's taxonomy; motivated
+    by MagSMM's dead-ReLU collapse) is smooth, strictly positive, and
+    asymptotically linear."""
+    from deepxi_tpu.models.tcn import output_activation
+
+    x = jnp.asarray([-20.0, -1.0, 0.0, 1.0, 20.0])
+    y = np.asarray(output_activation(x, "Softplus"))
+    assert (y > 0).all()
+    np.testing.assert_allclose(y[2], np.log(2.0), rtol=1e-6)
+    np.testing.assert_allclose(y[4], 20.0, atol=1e-6)
