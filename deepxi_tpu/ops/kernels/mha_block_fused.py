@@ -71,6 +71,7 @@ class BlockWeights(NamedTuple):
 
 def fused_transformer_block(x: jnp.ndarray, validf: jnp.ndarray,
                             weights: BlockWeights, causal: bool,
+                            tile_q: int = 1024,
                             interpret: bool | None = None) -> jnp.ndarray:
     """One whole transformer block in one Pallas kernel.
 
@@ -81,6 +82,11 @@ def fused_transformer_block(x: jnp.ndarray, validf: jnp.ndarray,
          semantics, computed from the ORIGINAL network input).
       weights: one block's parameters.
       causal: lower-triangular masking.
+      tile_q: query-row tile for the score matrix. Tp <= tile_q keeps the
+         full [Tp, Tp] logits live (short-form fast path); longer
+         sequences chunk the attention row-wise so live logits are
+         [tile_q, Tp] while K/V and the per-frame LN/FFN work stay
+         whole-sequence -- extends VMEM residency to ~4k frames (~64 s).
     Returns:
       [B, Tp, C] block output.
     """
@@ -93,30 +99,47 @@ def fused_transformer_block(x: jnp.ndarray, validf: jnp.ndarray,
     B, Tp, C = x.shape
     H, _, dk = weights.qk.shape
     scale = float(dk) ** -0.5
+    # live logits capped at ~4 MB: [bq, Tp] f32
+    bq = min(tile_q, Tp, max(128, ((1 << 20) // Tp) // 128 * 128))
+    n_tiles = -(-Tp // bq)
+    # FFN row tile: [bf, 4C] f32 intermediate capped at ~4 MB
+    bf = min(Tp, 1024)
+    n_ffn = -(-Tp // bf)
 
     def kernel(x_ref, v_ref, qk_r, kk_r, vk_r, ok_r, ln1s_r, ln1b_r,
                ff1w_r, ff1b_r, ff2w_r, ff2b_r, ln2s_r, ln2b_r, o_ref):
         xx = x_ref[0]                      # [Tp, C]
         vf = v_ref[0, 0]                   # [Tp]
-        m = vf[:, None] * vf[None, :]
-        if causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
-            m = m * (cols <= rows).astype(jnp.float32)
-        add = NEG_INF_V2 * (1.0 - m)       # [Tp, Tp]
 
         att = jnp.zeros((Tp, C), jnp.float32)
         for h in range(H):
             q = _dot(xx, qk_r[...][h]) * scale
             k = _dot(xx, kk_r[...][h])
             v = _dot(xx, vk_r[...][h])
-            logits = _dot_qk(q, k) + add
-            w = jax.nn.softmax(logits, axis=-1)
-            att = att + _dot(_dot(w, v), ok_r[...][h])
+            rows_h = []
+            for t in range(n_tiles):
+                r0, r1 = t * bq, min((t + 1) * bq, Tp)
+                tb = r1 - r0
+                mt = vf[r0:r1, None] * vf[None, :]          # [tb, Tp]
+                if causal:
+                    rows = r0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (tb, Tp), 0)
+                    cols = jax.lax.broadcasted_iota(jnp.int32, (tb, Tp), 1)
+                    mt = mt * (cols <= rows).astype(jnp.float32)
+                logits = _dot_qk(q[r0:r1], k) + NEG_INF_V2 * (1.0 - mt)
+                w = jax.nn.softmax(logits, axis=-1)
+                rows_h.append(_dot(w, v))                   # [tb, dk]
+            oh = rows_h[0] if n_tiles == 1 else jnp.concatenate(rows_h, 0)
+            att = att + _dot(oh, ok_r[...][h])
 
         x1 = _ln(xx + att, ln1s_r[...][0], ln1b_r[...][0])
-        f = jax.nn.relu(_dot(x1, ff1w_r[...]) + ff1b_r[...][0])
-        x2 = _ln(x1 + _dot(f, ff2w_r[...]) + ff2b_r[...][0],
+        ffn_rows = []
+        for t in range(n_ffn):
+            r0, r1 = t * bf, min((t + 1) * bf, Tp)
+            ft = jax.nn.relu(_dot(x1[r0:r1], ff1w_r[...]) + ff1b_r[...][0])
+            ffn_rows.append(_dot(ft, ff2w_r[...]))
+        f2 = ffn_rows[0] if n_ffn == 1 else jnp.concatenate(ffn_rows, 0)
+        x2 = _ln(x1 + f2 + ff2b_r[...][0],
                  ln2s_r[...][0], ln2b_r[...][0])
         o_ref[0] = x2
 
@@ -151,7 +174,7 @@ def mhanetv3_apply_fused(params, x: jnp.ndarray, n_blocks: int = 5,
                          max_len: int = 2048, causal: bool = True,
                          outp_act: str = "Sigmoid",
                          positional: bool = True,
-                         whole_max_t: int = 1024) -> jnp.ndarray:
+                         whole_max_t: int = 2048) -> jnp.ndarray:
     """MHANetV3 forward with every transformer block running as one fused
     Pallas kernel. Drop-in equivalent of `MHANetV3.apply` for the flagship
     configuration (mhanet-1.1c); `positional=False` makes it MHANetV2
