@@ -18,6 +18,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -26,6 +28,61 @@ import jax
 import jax.numpy as jnp
 
 N_d, N_s, K, f_s = 512, 256, 512, 16000
+
+# v5e bf16 peak per chip. NOTE: 394 TFLOP/s (used through round 3) is the
+# int8 number; bf16 peak is ~197 TFLOP/s (round-3 VERDICT weak #2).
+PEAK_BF16_TFLOPS = 197.0
+PEAK_HBM_GBPS = 819.0
+
+_LAST_KNOWN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "results", "bench_last_known.json")
+
+
+def _wait_backend(max_wait_s=480.0):
+    """Wait for the TPU relay to come back before touching jax in-process.
+
+    The axon relay wedges ~2-5 min after a crashed TPU process and the
+    tunnel drops transiently; round 3's driver bench died at backend init
+    and its BENCH_r03.json was a traceback (VERDICT weak #1). Probe in a
+    subprocess (a failed in-process init is cached by jax) with backoff;
+    return None on success, else the last error text."""
+    probe = ("import jax; jax.devices()")
+    delay, t0, last = 4.0, time.monotonic(), "never probed"
+    while True:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, text=True, timeout=300)
+        if r.returncode == 0:
+            return None
+        last = (r.stderr or r.stdout).strip().splitlines()
+        last = last[-1] if last else "unknown probe failure"
+        if time.monotonic() - t0 > max_wait_s:
+            return last
+        time.sleep(delay)
+        delay = min(delay * 1.7, 60.0)
+
+
+def _emit(obj):
+    print(json.dumps(obj))
+
+
+def _fail_json(err):
+    """One parseable JSON line on persistent failure: the error plus the
+    last bench this repo successfully recorded (never a bare traceback)."""
+    out = {"metric": "enhancement_rtf_resnet-1.1c", "value": None,
+           "unit": "audio_sec/wall_sec/chip", "vs_baseline": None,
+           "error": str(err)[:500]}
+    try:
+        with open(_LAST_KNOWN) as f:
+            out["last_known"] = json.load(f)
+    except Exception:
+        pass
+    _emit(out)
+
+
+def _is_oom(e) -> bool:
+    s = str(e)
+    return ("RESOURCE_EXHAUSTED" in s or "Out of memory" in s
+            or "out of memory" in s or "OOM" in s)
 
 
 def _readback(y):
@@ -79,8 +136,10 @@ def bench_resnet_rtf(B=96, seconds=10.0):
         (np.random.RandomState(0).randn(B, n) * 3000).astype(np.int16)))
     dt = _time_fn(enhance, params, x)
     flops, min_bytes = pipeline_flops_bytes(B, n)
-    roofline = {"achieved_tflops": round(flops / dt / 1e12, 2),
-                "achieved_min_gbps": round(min_bytes / dt / 1e9, 2)}
+    tflops = flops / dt / 1e12
+    roofline = {"achieved_tflops": round(tflops, 2),
+                "achieved_min_gbps": round(min_bytes / dt / 1e9, 2),
+                "mfu": round(tflops / PEAK_BF16_TFLOPS, 4)}
     return B * (n / f_s) / dt, roofline
 
 
@@ -97,12 +156,13 @@ def pipeline_flops_bytes(B, n, groups=2):
     group boundaries (20 blocks per kernel stay in VMEM), one pass over
     the weights.
 
-    Interpretation (v5e: 394 bf16 TFLOP/s, ~819 GB/s): at the measured
-    ~8.5 ms for B=96 x 10 s both ratios come out LOW (~35 TFLOP/s, tens
-    of GB/s) -- the kernel is neither HBM- nor MXU-peak-bound; its wall
-    is the d_f=64 matmul tiles (<=50% MXU occupancy) interleaved with
-    VPU-serial LN/ReLU chains, i.e. an occupancy roofline, not a
-    bandwidth one."""
+    Interpretation (v5e: 197 bf16 TFLOP/s, ~819 GB/s): at the measured
+    ~8.5 ms for B=96 x 10 s both ratios come out LOW (~35 TFLOP/s =
+    ~18% MFU, tens of GB/s) -- the kernel is neither HBM- nor
+    MXU-peak-bound; its wall is the d_f=64 matmul tiles (<=50% MXU
+    occupancy) interleaved with VPU-serial LN/ReLU chains, i.e. an
+    occupancy roofline, not a bandwidth one. tools/bench_mxu_ceiling.py
+    measures the bare matmul chain's own ceiling."""
     T = n // N_s
     d_model, d_f, k, blocks, nb = 256, 64, 3, 40, 257
     dft = 2 * 2 * B * T * N_d * (2 * nb)          # analysis + synthesis
@@ -292,16 +352,23 @@ def bench_streaming_mha_capacity(budget_ms=16.0, n_rep=20,
         del state
         return (time.perf_counter() - t0) / n_rep * 1e3
 
+    skipped = []
     for B in candidates:
         try:
             ms = hop_ms(B)
-        except Exception:  # HBM OOM at the largest candidates
+        except Exception as e:
+            # only HBM exhaustion is an expected skip; a real bug in step
+            # must surface as an error, not a smaller capacity number
+            # (round-3 ADVICE)
+            if not _is_oom(e) and B != max(candidates):
+                raise
+            skipped.append({"B": B, "err": str(e)[:160]})
             gc.collect()
             time.sleep(2.0)  # async dealloc drains through the relay
             continue
         if ms <= budget_ms:
-            return B, ms
-    return 1, hop_ms(1)
+            return B, ms, skipped
+    return 1, hop_ms(1), skipped
 
 
 def bench_streaming_mha_capacity_chunked(hop_batch=8, n_rep=10,
@@ -342,16 +409,20 @@ def bench_streaming_mha_capacity_chunked(hop_batch=8, n_rep=10,
         del state
         return (time.perf_counter() - t0) / n_rep * 1e3
 
+    skipped = []
     for B in candidates:
         try:
             ms = chunk_ms(B)
-        except Exception:  # HBM OOM at the largest candidates
+        except Exception as e:
+            if not _is_oom(e) and B != max(candidates):
+                raise
+            skipped.append({"B": B, "err": str(e)[:160]})
             gc.collect()
             time.sleep(2.0)
             continue
         if ms <= budget_ms:
-            return B, ms
-    return 1, chunk_ms(1)
+            return B, ms, skipped
+    return 1, chunk_ms(1), skipped
 
 
 def bench_streaming_latency(B=1, n_rep=100):
@@ -433,8 +504,22 @@ def bench_numerics():
 
 
 def main():
-    rtf, roofline = bench_resnet_rtf()
+    err = _wait_backend()
+    if err is not None:
+        _fail_json("backend init failed after retries: " + err)
+        return 0
+    try:
+        rtf, roofline = bench_resnet_rtf()
+    except Exception as e:  # never let the round's bench be a traceback
+        _fail_json(f"headline bench failed: {type(e).__name__}: {e}")
+        return 0
     extra = dict(roofline)
+    # numerics first: it needs only 1-utterance allocations, and the
+    # capacity sweeps below fragment HBM enough to OOM it (r4 early run)
+    try:
+        extra.update(bench_numerics())
+    except Exception as e:  # pragma: no cover
+        extra["numerics_error"] = str(e)[:200]
     try:
         extra["mhanet-1.1c_rtf_fusedblock"] = round(
             bench_mhanet_rtf("fusedblock"), 2)
@@ -464,29 +549,38 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["streaming_error"] = str(e)[:200]
     try:
-        mha_streams, mha_ms = bench_streaming_mha_capacity()
+        mha_streams, mha_ms, skipped = bench_streaming_mha_capacity()
         extra["streaming_mha_channels_per_chip"] = mha_streams
         extra["streaming_mha_ms_per_hop_at_capacity"] = round(mha_ms, 3)
+        if skipped:
+            extra["streaming_mha_skipped"] = skipped
     except Exception as e:  # pragma: no cover
         extra["streaming_mha_error"] = str(e)[:200]
     try:
-        cb, cms = bench_streaming_mha_capacity_chunked()
+        cb, cms, skipped = bench_streaming_mha_capacity_chunked()
         extra["streaming_mha_channels_per_chip_chunked"] = cb
         extra["streaming_mha_ms_per_chunk_at_capacity"] = round(cms, 3)
+        if skipped:
+            extra["streaming_mha_chunked_skipped"] = skipped
     except Exception as e:  # pragma: no cover
         extra["streaming_mha_chunked_error"] = str(e)[:200]
-    try:
-        extra.update(bench_numerics())
-    except Exception as e:  # pragma: no cover
-        extra["numerics_error"] = str(e)[:200]
-    print(json.dumps({
+    result = {
         "metric": "enhancement_rtf_resnet-1.1c",
         "value": round(rtf, 2),
         "unit": "audio_sec/wall_sec/chip",
         "vs_baseline": round(rtf / 100.0, 3),
         "extra": extra,
-    }))
+    }
+    try:  # snapshot for _fail_json's last_known on a future dead-relay run
+        os.makedirs(os.path.dirname(_LAST_KNOWN), exist_ok=True)
+        with open(_LAST_KNOWN, "w") as f:
+            json.dump(dict(result, recorded_at=time.strftime("%Y-%m-%d")),
+                      f, indent=1)
+    except OSError:
+        pass
+    _emit(result)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -164,7 +164,10 @@ def run_artifact_enhance(artifact: str, in_wavs: List[str], out_dir: str,
 
     it, net, params, _, _ = load_artifact(artifact)
     enhance = jax.jit(make_enhancer(it, net, gain))
-    wavs, rates = zip(*(read_wav(p) for p in paths))
+    # resample every input to the artifact's analysis rate (round-3 ADVICE:
+    # the default-16k read enhanced odd-rate wavs with the wrong STFT
+    # parameters whenever the artifact's f_s differed)
+    wavs, rates = zip(*(read_wav(p, it.f_s) for p in paths))
     lens = [len(w) for w in wavs]
     L = -(-max(lens) // it.N_s) * it.N_s
     x = np.zeros((len(wavs), L), np.int16)

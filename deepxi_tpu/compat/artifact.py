@@ -23,6 +23,28 @@ _DEFAULT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "artifacts", "resnet-1.1c-synth300")
 
+_MAP_ATTRS = ("xi_map", "gamma_map", "mag_map", "cd_map", "s_stps_map")
+
+
+def _restore_stats(it, npz):
+    """Restore every map's statistics from a stats.npz (keys
+    `<map_attr>.<field>`, e.g. `xi_map.mu`). Mirrors
+    DeepXiTPU._load_stats: restoring only xi_map.mu/sigma broke the
+    --enhance CLI for non-MagXi families (gamma/cd/s_stps/mag maps
+    silently kept init stats; round-3 ADVICE medium)."""
+    import jax.numpy as jnp
+    for m in _MAP_ATTRS:
+        mp = getattr(it, m, None)
+        updates = {k.split(".", 1)[1]: jnp.asarray(v)
+                   for k, v in npz.items() if k.startswith(m + ".")}
+        if updates:
+            if mp is None:
+                raise ValueError(
+                    f"stats.npz carries {m} statistics but this inp_tgt "
+                    f"family has no {m}")
+            it = it.replace(**{m: mp.replace(**updates)})
+    return it
+
 
 def load_flagship_artifact(root: str = None) -> Tuple:
     """(inp_tgt, net, params, noisy_wav, clean_wav) for the checked-in
@@ -47,9 +69,7 @@ def load_flagship_artifact(root: str = None) -> Tuple:
 
     it = inp_tgt_selector("MagXi", N_d=512, N_s=256, K=512, f_s=16000,
                           map_type="DBNormalCDF", map_params=None)
-    s = np.load(os.path.join(root, "stats.npz"))
-    it = it.replace(xi_map=it.xi_map.replace(
-        mu=jnp.asarray(s["xi_map.mu"]), sigma=jnp.asarray(s["xi_map.sigma"])))
+    it = _restore_stats(it, np.load(os.path.join(root, "stats.npz")))
 
     noisy, _ = read_wav(os.path.join(root, "c012_white_5dB.wav"))
     clean, _ = read_wav(os.path.join(root, "c012.wav"))
@@ -86,9 +106,7 @@ def load_artifact(root: str) -> Tuple:
     params = jax.tree_util.tree_unflatten(
         treedef, [jnp.asarray(z[f"p{i}"]) for i in range(len(leaves))])
 
-    s = np.load(os.path.join(root, "stats.npz"))
-    it = it.replace(xi_map=it.xi_map.replace(
-        mu=jnp.asarray(s["xi_map.mu"]), sigma=jnp.asarray(s["xi_map.sigma"])))
+    it = _restore_stats(it, np.load(os.path.join(root, "stats.npz")))
 
     noisy, _ = read_wav(os.path.join(root, meta["noisy"]))
     clean, _ = read_wav(os.path.join(root, meta["clean"]))

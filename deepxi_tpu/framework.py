@@ -767,8 +767,12 @@ class DeepXiTPU:
             # one-token-per-line CSV when a lexicon is configured.
             post = np.asarray(tgt_hat)
             if cfg.lexicon_path:
-                from deepxi_tpu.dsp.phoneme import Phoneme
-                mapper = Phoneme(cfg.lexicon_path)
+                # lexicon parse cached across the inference loop (round-3
+                # ADVICE: constructing it per utterance re-read the files)
+                mapper = getattr(self, "_pho_mapper", None)
+                if mapper is None:
+                    from deepxi_tpu.dsp.phoneme import Phoneme
+                    mapper = self._pho_mapper = Phoneme(cfg.lexicon_path)
                 idx = post.argmax(axis=-1)
                 with open(os.path.join(out_dir, name + ".csv"), "w") as f:
                     for i in idx:
