@@ -88,7 +88,18 @@ def main(argv=None) -> int:
     ap.add_argument("--resume_epoch", type=int, default=0)
     ap.add_argument("--copy_results_to", default=None,
                     help="directory to copy result CSVs + table into")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (cpu/tpu). Scoring runs use "
+                         "cpu so they overlap the single-chip training queue "
+                         "(one TPU process at a time on this runtime)")
+    ap.add_argument("--test_epochs", default=None,
+                    help="comma list of checkpoint epochs to score (defaults "
+                         "to --epochs); each writes its own results row")
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     os.makedirs(args.work, exist_ok=True)
     os.chdir(args.work)
@@ -146,14 +157,9 @@ def main(argv=None) -> int:
     print({k: round(v, 2) for k, v in sorted(noisy.items())}, flush=True)
 
     print("== objective test (composite driver) ==", flush=True)
-    results = dx.test(epochs=[args.epochs], gains=[args.gain])
-    res = results[(args.epochs, args.gain)]
-    enh = {}
-    for (ns, sl, m), vals in res.items():
-        enh.setdefault(m, []).extend(vals)
-    enh = {k: float(np.mean(v)) for k, v in enh.items()}
-    print({k: round(v, 2) for k, v in sorted(enh.items())}, flush=True)
-
+    test_epochs = ([int(e) for e in args.test_epochs.split(",")]
+                   if args.test_epochs else [args.epochs])
+    results = dx.test(epochs=test_epochs, gains=[args.gain])
     cols = ("CSIG", "CBAK", "COVL", "PESQ", "STOI", "SegSNR", "SNR",
             "eSTOI", "MOS-LQO")
     lines = [
@@ -161,9 +167,18 @@ def main(argv=None) -> int:
         "|---|" + "---|" * len(cols),
         "| Noisy (unprocessed) | " + " | ".join(
             f"{noisy.get(c, float('nan')):.2f}" for c in cols) + " |",
-        f"| {cfg.ver} e{args.epochs} {args.gain} | " + " | ".join(
-            f"{enh.get(c, float('nan')):.2f}" for c in cols) + " |",
     ]
+    for ep in test_epochs:
+        res = results[(ep, args.gain)]
+        enh = {}
+        for (ns, sl, m), vals in res.items():
+            enh.setdefault(m, []).extend(vals)
+        enh = {k: float(np.mean(v)) for k, v in enh.items()}
+        print(f"e{ep}:", {k: round(v, 2) for k, v in sorted(enh.items())},
+              flush=True)
+        lines.append(
+            f"| {cfg.ver} e{ep} {args.gain} | " + " | ".join(
+                f"{enh.get(c, float('nan')):.2f}" for c in cols) + " |")
     table = "\n".join(lines) + "\n"
     with open("campaign_table.md", "w") as f:
         f.write(table)
@@ -178,9 +193,9 @@ def main(argv=None) -> int:
         dst_table = os.path.join(dst, "campaign_table.md")
         if os.path.exists(dst_table):
             existing = open(dst_table).read().rstrip("\n").split("\n")
-            row = lines[-1]
-            if row not in existing:
-                existing.append(row)
+            for row in lines[3:]:  # model rows (skip header + noisy)
+                if row not in existing:
+                    existing.append(row)
             with open(dst_table, "w") as f:
                 f.write("\n".join(existing) + "\n")
         else:
