@@ -49,12 +49,21 @@ def _wait_backend(max_wait_s=480.0):
     probe = ("import jax; jax.devices()")
     delay, t0, last = 4.0, time.monotonic(), "never probed"
     while True:
-        r = subprocess.run([sys.executable, "-c", probe],
-                           capture_output=True, text=True, timeout=300)
-        if r.returncode == 0:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True, timeout=300)
+        except subprocess.TimeoutExpired:
+            # a second TPU process hangs SILENTLY waiting for the chip
+            # grant -- a timed-out probe means the chip is held (or the
+            # relay hung), not that the backend errored
+            last = ("probe timed out: chip held by another process or "
+                    "relay hung")
+            r = None
+        if r is not None and r.returncode == 0:
             return None
-        last = (r.stderr or r.stdout).strip().splitlines()
-        last = last[-1] if last else "unknown probe failure"
+        if r is not None:
+            last = (r.stderr or r.stdout).strip().splitlines()
+            last = last[-1] if last else "unknown probe failure"
         if time.monotonic() - t0 > max_wait_s:
             return last
         time.sleep(delay)
@@ -504,6 +513,22 @@ def bench_numerics():
 
 
 def main():
+    # global watchdog: if the chip is granted to this process and then the
+    # relay (or a competing process) wedges MID-bench, the in-process jax
+    # dispatch blocks forever and no except-clause ever runs. The round's
+    # bench must still be one JSON line, so hard-exit with the fail record.
+    import threading
+
+    def _watchdog():
+        _fail_json("bench watchdog expired (45 min): dispatch hung "
+                   "mid-bench, chip held elsewhere or relay wedged")
+        sys.stdout.flush()
+        os._exit(0)
+
+    wd = threading.Timer(45 * 60, _watchdog)
+    wd.daemon = True
+    wd.start()
+
     err = _wait_backend()
     if err is not None:
         _fail_json("backend init failed after retries: " + err)
