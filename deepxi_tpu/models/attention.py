@@ -157,6 +157,11 @@ class TFAMultiHeadAttention(nn.Module):
     #   the [T, T] score matrix never reaches HBM (the MHANet inference
     #   bottleneck); same additive-mask softmax, matches "full" on valid
     #   rows to float rounding (deepxi_tpu/ops/kernels/mha_fused.py).
+    #   Holds whole K/V panels in VMEM, so T caps at a few thousand frames.
+    # "stream": online-softmax Pallas kernel walking key tiles with a
+    #   running (max, denom, acc) in VMEM scratch -- O(block_q * block_k)
+    #   live memory at ANY T; the long-audio inference path
+    #   (deepxi_tpu/ops/kernels/mha_flash_stream.py).
     impl: str = "full"
     block_q: int = 256
 
@@ -177,11 +182,16 @@ class TFAMultiHeadAttention(nn.Module):
         kp = jnp.einsum("bsI,HId->bsHd", k, kk)
         vp = jnp.einsum("bsI,HId->bsHd", v, vk)
 
-        if self.impl in ("block", "fused"):
+        if self.impl in ("block", "fused", "stream"):
             if valid is None:
                 raise ValueError(
                     f"{self.impl} attention needs the [B, T] valid mask")
-            if self.impl == "fused":
+            if self.impl == "stream":
+                from deepxi_tpu.ops.kernels.mha_flash_stream import \
+                    flash_attention_streaming
+                out = flash_attention_streaming(qp, kp, vp, valid, causal,
+                                                self.block_q)
+            elif self.impl == "fused":
                 from deepxi_tpu.ops.kernels.mha_fused import flash_attention
                 out = flash_attention(qp, kp, vp, valid, causal, self.block_q)
             else:
@@ -245,7 +255,7 @@ class MHANetV2(nn.Module):
 
     @nn.compact
     def __call__(self, inp: jnp.ndarray) -> jnp.ndarray:
-        if self.attention_impl in ("block", "fused"):
+        if self.attention_impl in ("block", "fused", "stream"):
             # never materialise [T, T]: per-block masks rebuild from [B, T]
             mask, valid = None, sequence_valid_mask(inp)
         else:
