@@ -157,6 +157,135 @@ def fused_block_group_whole(x: jnp.ndarray, weights: Sequence[BlockWeights],
     return out[:B, :T]
 
 
+def fused_block_group_whole_pack2(x: jnp.ndarray,
+                                  weights: Sequence[BlockWeights],
+                                  dilations: Sequence[int], k: int = 3,
+                                  ln_mode: str = "slice",
+                                  interpret: bool | None = None
+                                  ) -> jnp.ndarray:
+    """`fused_block_group_whole` with TWO batch rows packed into the
+    d_f=64 lane gap (round-3 VERDICT next #4's lever, measured by
+    tools/mxu_probe.py).
+
+    The production chain runs at ~29 TFLOP/s because its inner matmuls
+    are N=64/K=64 -- half-lane, half-depth MXU tiles; the identical chain
+    at d_f=128 measures 93 TFLOP/s and is FASTER in absolute time at
+    2.5x the FLOPs (results/hw_evidence_r4/mxu_probe.log). So: rows 2b
+    and 2b+1 run per grid cell with their d_f-domain activations
+    CONCATENATED ALONG LANES (offsets 0/64) and block-diagonal weights --
+    every matmul at N,K >= 128 for 2x padded FLOPs. Numerics are
+    IDENTICAL to the unpacked kernel: the block-diagonal zeros contribute
+    exact 0.0 terms, row (sublane) shifts for the dilated taps apply to
+    both lane halves equally, and the segmented LN computes each half's
+    moments separately.
+
+    ln_mode: 'slice' takes per-half moments over lane slices (exact);
+    'matmul' uses an MXU block-average matrix (E[x], E[x^2] -- ~1e-6
+    var-formula rounding). Both are Mosaic-accepted; 'slice' measures
+    faster (no extra MXU passes).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    B, T, C = x.shape
+    G = len(weights)
+    d_f = weights[0].w1.shape[-1]
+    Tpad = -(-T // 8) * 8
+    Bpad = -(-B // 2) * 2
+    if Tpad != T or Bpad != B:
+        x = jnp.pad(x, ((0, Bpad - B), (0, Tpad - T), (0, 0)))
+
+    def blockdiag(a, b):
+        z1 = jnp.zeros((a.shape[0], b.shape[1]), a.dtype)
+        z2 = jnp.zeros((b.shape[0], a.shape[1]), a.dtype)
+        return jnp.block([[a, z1], [z2, b]])
+
+    packed = []
+    for bw in weights:
+        packed.append((
+            blockdiag(bw.w1[0], bw.w1[0]),                    # [2C, 2d_f]
+            jnp.concatenate([bw.b1, bw.b1])[None, :],          # [1, 2d_f]
+            *[blockdiag(bw.w2[j], bw.w2[j]) for j in range(k)],
+            jnp.concatenate([bw.b2, bw.b2])[None, :],
+            blockdiag(bw.w3[0], bw.w3[0]),                    # [2d_f, 2C]
+            bw.b3[None, :],                                   # [1, C]
+        ))
+    n_w = k + 5
+
+    avg = np.zeros((2 * d_f, 2 * d_f), np.float32)
+    avg[:d_f, :d_f] = 1.0 / d_f
+    avg[d_f:, d_f:] = 1.0 / d_f
+    avg = jnp.asarray(avg)
+
+    def seg_ln(u, avg_ref, eps=1e-6):
+        if ln_mode == "matmul":
+            m = _dot(u, avg_ref[...])
+            v = _dot(u * u, avg_ref[...]) - m * m
+            return (u - m) * jax.lax.rsqrt(v + eps)
+        ua, ub = u[:, :d_f], u[:, d_f:]
+
+        def one(z):
+            mu = jnp.mean(z, -1, keepdims=True)
+            var = jnp.mean(jnp.square(z - mu), -1, keepdims=True)
+            return (z - mu) * jax.lax.rsqrt(var + eps)
+
+        return jnp.concatenate([one(ua), one(ub)], axis=-1)
+
+    def kernel(x_ref, avg_ref, *refs):
+        w_refs, o_ref = refs[:-1], refs[-1]
+        ha, hb = x_ref[0], x_ref[1]
+        for g in range(G):
+            d = dilations[g]
+            ws = w_refs[n_w * g: n_w * g + n_w]
+            w1p, b1p = ws[0], ws[1]
+            w2p, b2p = ws[2:2 + k], ws[2 + k]
+            w3p, b3p = ws[3 + k], ws[4 + k]
+            reach = (k - 1) * d
+            a_cat = jnp.concatenate([_ln(jax.nn.relu(ha)),
+                                     _ln(jax.nn.relu(hb))], axis=-1)
+            u1 = _dot(a_cat, w1p[...]) + b1p[...][0]
+            a2 = seg_ln(jax.nn.relu(u1), avg_ref)
+            a2p = jnp.pad(a2, ((reach, 0), (0, 0)))
+            y = _dot(a2p[(k - 1) * d:(k - 1) * d + Tpad], w2p[k - 1][...])
+            for j in range(k - 1):
+                y = y + _dot(a2p[j * d: j * d + Tpad], w2p[j][...])
+            y = y + b2p[...][0]
+            a3 = seg_ln(jax.nn.relu(y), avg_ref)
+            u3 = _dot(a3, w3p[...])
+            ha = ha + u3[:, :C] + b3p[...][0]
+            hb = hb + u3[:, C:] + b3p[...][0]
+        o_ref[0] = ha
+        o_ref[1] = hb
+
+    w_specs, w_args = [], []
+    for bw in packed:
+        for arr in bw:
+            w_specs.append(pl.BlockSpec(
+                arr.shape, lambda b, n=arr.ndim: (0,) * n,
+                memory_space=pltpu.VMEM))
+            w_args.append(arr)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bpad // 2,),
+        in_specs=[
+            pl.BlockSpec((2, Tpad, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(avg.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((2, Tpad, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bpad, Tpad, C), jnp.float32),
+        interpret=interpret,
+    )(x, avg, *w_args)
+    return out[:B, :T]
+
+
 def fused_block_group(x: jnp.ndarray, weights: Sequence[BlockWeights],
                       dilations: Sequence[int], k: int = 3,
                       tile_t: int = 256, interpret: bool | None = None
@@ -260,6 +389,7 @@ def resnetv2_apply_fused(params, x: jnp.ndarray, n_blocks: int = 40,
                          max_d_rate: int = 16, k: int = 3,
                          group: int = 20, tile_t: int = 640,
                          whole_max_t: int = 1024, batch_group: int = 1,
+                         pack2: bool = False, pack2_ln: str = "slice",
                          outp_act: str = "Sigmoid") -> jnp.ndarray:
     """ResNetV2 forward (causal, ReLU->LN->W+b, Sigmoid) with the block
     stack running through fused Pallas group kernels. Drop-in equivalent of
@@ -267,7 +397,9 @@ def resnetv2_apply_fused(params, x: jnp.ndarray, n_blocks: int = 40,
 
     Sequences up to ``whole_max_t`` frames (~16 s audio at the flagship
     framing) run the whole-sequence VMEM kernel (no time tiling, ~1.2x);
-    longer ones use the halo-tiled kernel.
+    longer ones use the halo-tiled kernel. ``pack2=True`` routes the
+    whole-sequence path through the lane-packed two-rows-per-cell kernel
+    (fused_block_group_whole_pack2).
     """
     p = params["params"]
     whole = x.shape[1] <= whole_max_t
@@ -286,7 +418,11 @@ def resnetv2_apply_fused(params, x: jnp.ndarray, n_blocks: int = 40,
             w2=p[f"block{i}_u2_conv"]["kernel"], b2=p[f"block{i}_u2_conv"]["bias"],
             w3=p[f"block{i}_u3_conv"]["kernel"], b3=p[f"block{i}_u3_conv"]["bias"],
         ) for i in idx]
-        if whole:
+        if whole and pack2:
+            h = fused_block_group_whole_pack2(h, weights,
+                                              [dil[i] for i in idx], k=k,
+                                              ln_mode=pack2_ln)
+        elif whole:
             h = fused_block_group_whole(h, weights, [dil[i] for i in idx],
                                         k=k, batch_group=batch_group)
         else:

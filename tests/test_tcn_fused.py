@@ -56,6 +56,21 @@ def test_matches_flax_whole_batch_grouped(setup, batch_group):
     np.testing.assert_allclose(y, y_ref, atol=5e-4)
 
 
+@pytest.mark.parametrize("ln_mode", ["slice", "matmul"])
+def test_matches_flax_pack2(setup, ln_mode):
+    """The lane-packed two-rows-per-cell kernel (block-diagonal weights,
+    segmented LN) is numerics-identical to flax; also with an odd batch
+    (row pad/trim)."""
+    net, params, x, y_ref = setup
+    y = np.asarray(resnetv2_apply_fused(params, x, n_blocks=10, max_d_rate=4,
+                                        pack2=True, pack2_ln=ln_mode))
+    np.testing.assert_allclose(y, y_ref, atol=5e-4)
+    y1 = np.asarray(resnetv2_apply_fused(params, x[:1], n_blocks=10,
+                                         max_d_rate=4, pack2=True,
+                                         pack2_ln=ln_mode))
+    np.testing.assert_allclose(y1, y_ref[:1], atol=5e-4)
+
+
 def test_whole_and_halo_paths_agree(setup):
     """The two kernels agree to float rounding (measured bit-exact on
     hardware for the flagship config when the whole path was introduced;
