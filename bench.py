@@ -119,7 +119,7 @@ def _mag_xi(sample_seed=0):
     return it.replace(xi_map=it.xi_map.with_stats(jnp.asarray(sample)))
 
 
-def bench_resnet_rtf(B=96, seconds=10.0):
+def bench_resnet_rtf(B=96, seconds=10.0, pack2=False):
     """Headline: fused resnet-1.1c enhancement RTF, at the flagship preset's
     shipped numerics (fused Pallas TCN + dft_precision='default', both
     measured quality-neutral on trained weights -- tests/test_tpu_hw.py).
@@ -138,7 +138,8 @@ def bench_resnet_rtf(B=96, seconds=10.0):
                            k=3, max_d_rate=16, causal=True,
                            unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((B, n // N_s, 257)))
-    fused = lambda p, m: resnetv2_apply_fused(p, m, n_blocks=40, max_d_rate=16)
+    fused = lambda p, m: resnetv2_apply_fused(p, m, n_blocks=40,
+                                              max_d_rate=16, pack2=pack2)
     enhance = make_enhancer(it, net, "mmse-lsa", apply_fn=fused,
                             precision="default")
     x = jax.device_put(jnp.asarray(
@@ -498,7 +499,8 @@ def bench_numerics():
 
     it, net, params, noisy, clean = load_flagship_artifact()
     x = jnp.asarray(noisy[None])
-    fused = lambda p, m: resnetv2_apply_fused(p, m, n_blocks=40, max_d_rate=16)
+    fused = lambda p, m: resnetv2_apply_fused(p, m, n_blocks=40,
+                                              max_d_rate=16, pack2=pack2)
     y_ref = np.asarray(make_enhancer(it, net, "mmse-lsa",
                                      precision="highest")(params, x))[0]
     y_fus = np.asarray(make_enhancer(it, net, "mmse-lsa", apply_fn=fused,
