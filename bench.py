@@ -171,7 +171,7 @@ def pipeline_flops_bytes(B, n, groups=2):
     ~18% MFU, tens of GB/s) -- the kernel is neither HBM- nor
     MXU-peak-bound; its wall is the d_f=64 matmul tiles (<=50% MXU
     occupancy) interleaved with VPU-serial LN/ReLU chains, i.e. an
-    occupancy roofline, not a bandwidth one. tools/bench_mxu_ceiling.py
+    occupancy roofline, not a bandwidth one. tools/mxu_probe.py
     measures the bare matmul chain's own ceiling."""
     T = n // N_s
     d_model, d_f, k, blocks, nb = 256, 64, 3, 40, 257
