@@ -12,6 +12,19 @@ Port conventions: signal arrays are 0-based numpy float64; the utterance
 bookkeeping (window indices, sample indices) keeps the MATLAB 1-based
 values, converted with an explicit -1 exactly where a signal array is
 indexed.  Delays are in samples throughout.
+
+Validation status (round-3 advisor asked for a golden cross-check
+against a known-good P.862 implementation): environment-blocked. No
+PESQ package is installed (and installs are disallowed), the
+reference's pesq.m needs MATLAB plus the ITU MEX binary, the ITU
+conformance vectors are not on disk, and the reference ships no
+per-file PESQ score for its one (ref, deg) wav pair. Until a golden
+source exists, the port is pinned by behavioral self-tests
+(tests/test_pesq.py: planted constant delays recovered within 16
+samples, a +40 ms mid-signal jump tracked by utterance splitting,
+alignment invariance of the final MOS) and by the composite scorer
+reproducing the published per-condition range on the shipped enhanced
+wav (README "Parity & performance").
 """
 
 from __future__ import annotations
