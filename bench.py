@@ -349,15 +349,20 @@ def bench_streaming_capacity(budget_ms=16.0, n_rep=30,
 
 
 def bench_streaming_mha_capacity(budget_ms=16.0, n_rep=20,
-                                 candidates=(1024, 512, 256, 128)):
+                                 candidates=(256, 192, 128)):
     """Concurrent real-time channels for the streaming MHANet flagship
     (KV-cache attention, round-2 VERDICT next #6): largest batch of
     independent 16 ms-hop streams whose fused Pallas cache-step
     (ops/kernels/mha_cache.py, bfloat16-resident caches) clears the 16 ms
-    budget. The bf16 caches bound capacity at ~5.2 MB/channel
+    budget. The bf16 caches bound HBM at ~5.2 MB/channel
     (5 blocks x K+V x 2048 x 256 x 2 B): 1024 channels is ~10.7 GB of a
     16 GB chip, which only fits with the state donated into the step
-    (in-place cache append; without donation the old+new copies OOM)."""
+    (in-place cache append; without donation the old+new copies OOM).
+    v5e per-hop sweep (2026-08, results/hw_evidence_r4/
+    stream_mha_capacity2.log): 512 -> 35.7 ms, 384 -> 27.0 ms,
+    256 -> 18.5 ms, 192 -> 14.3 ms -- the strict-latency knee is 192;
+    beyond it the per-hop step is compute-bound on H matvec attention
+    reads of the whole cache, which is what `step_block` amortises."""
     import gc
 
     from deepxi_tpu.models import network_selector
@@ -405,14 +410,17 @@ def bench_streaming_mha_capacity(budget_ms=16.0, n_rep=20,
 
 
 def bench_streaming_mha_capacity_chunked(hop_batch=8, n_rep=10,
-                                         candidates=(2048, 1024, 512, 256)):
+                                         candidates=(1024, 512, 256)):
     """Hop-batched ("chunked") streaming-MHANet capacity: `step_block`
     processes ``hop_batch`` 16 ms hops per dispatch, so each block's KV
     cache is read once per ``hop_batch`` hops and the attention logits are
     a real [H, L] matmul instead of H matvecs. Real-time then requires the
     dispatch to clear ``hop_batch x 16 ms``; added output latency is one
     chunk (hop_batch x 16 ms). Parity with sequential steps is tested in
-    tests/test_streaming_mha.py."""
+    tests/test_streaming_mha.py. v5e (2026-08): B=1024 clears a 128 ms
+    chunk in 55.4 ms -- 1024 real-time channels at +128 ms latency; 2048
+    cannot fit the ~5.2 MB/channel caches in 16 GB HBM, so 1024 is the
+    chip's memory ceiling, not a compute wall."""
     import gc
 
     from deepxi_tpu.models import network_selector
@@ -500,7 +508,7 @@ def bench_numerics():
     it, net, params, noisy, clean = load_flagship_artifact()
     x = jnp.asarray(noisy[None])
     fused = lambda p, m: resnetv2_apply_fused(p, m, n_blocks=40,
-                                              max_d_rate=16, pack2=pack2)
+                                              max_d_rate=16)
     y_ref = np.asarray(make_enhancer(it, net, "mmse-lsa",
                                      precision="highest")(params, x))[0]
     y_fus = np.asarray(make_enhancer(it, net, "mmse-lsa", apply_fn=fused,
