@@ -549,12 +549,26 @@ def main():
     # global watchdog: if the chip is granted to this process and then the
     # relay (or a competing process) wedges MID-bench, the in-process jax
     # dispatch blocks forever and no except-clause ever runs. The round's
-    # bench must still be one JSON line, so hard-exit with the fail record.
+    # bench must still be one JSON line: if the headline already finished,
+    # emit it with whatever extras accumulated (a full healthy run takes
+    # ~30-40 min -- a slow compile must not turn the round's record into a
+    # fail row); only a hang BEFORE the headline emits the fail record.
     import threading
 
+    partial = {"result": None, "done": False}
+
     def _watchdog():
-        _fail_json("bench watchdog expired (45 min): dispatch hung "
-                   "mid-bench, chip held elsewhere or relay wedged")
+        if partial["done"]:
+            return
+        if partial["result"] is not None:
+            res = dict(partial["result"])
+            res["extra"] = dict(res["extra"],
+                                watchdog="expired mid-extras (45 min)")
+            _emit(res)
+        else:
+            _fail_json("bench watchdog expired (45 min) before the "
+                       "headline: dispatch hung, chip held elsewhere or "
+                       "relay wedged")
         sys.stdout.flush()
         os._exit(0)
 
@@ -572,6 +586,13 @@ def main():
         _fail_json(f"headline bench failed: {type(e).__name__}: {e}")
         return 0
     extra = dict(roofline)
+    partial["result"] = {
+        "metric": "enhancement_rtf_resnet-1.1c",
+        "value": round(rtf, 2),
+        "unit": "audio_sec/wall_sec/chip",
+        "vs_baseline": round(rtf / 100.0, 3),
+        "extra": extra,  # mutated in place as sections complete
+    }
     # numerics first: it needs only 1-utterance allocations, and the
     # capacity sweeps below fragment HBM enough to OOM it (r4 early run)
     try:
@@ -626,13 +647,9 @@ def main():
             extra["streaming_mha_chunked_skipped"] = skipped
     except Exception as e:  # pragma: no cover
         extra["streaming_mha_chunked_error"] = str(e)[:200]
-    result = {
-        "metric": "enhancement_rtf_resnet-1.1c",
-        "value": round(rtf, 2),
-        "unit": "audio_sec/wall_sec/chip",
-        "vs_baseline": round(rtf / 100.0, 3),
-        "extra": extra,
-    }
+    partial["done"] = True
+    wd.cancel()
+    result = partial["result"]
     try:  # snapshot for _fail_json's last_known on a future dead-relay run
         os.makedirs(os.path.dirname(_LAST_KNOWN), exist_ok=True)
         with open(_LAST_KNOWN, "w") as f:
