@@ -40,21 +40,40 @@ _REF_CLASSES = {
 }
 
 
-def _install_ref_stubs() -> None:
-    """Install stub `deepxi.*` modules so reference pickles resolve without
-    the (broken) reference package on the path. TF tensors inside the pickle
-    reconstruct through TF itself."""
-    for modname, classes in _REF_CLASSES.items():
-        if modname not in sys.modules:
+class _ref_stub_scope:
+    """Temporarily install stub `deepxi.*` modules so reference pickles
+    resolve without the (broken) reference package on the path, restoring
+    sys.modules on exit. TF tensors inside the pickle reconstruct through
+    TF itself.
+
+    Scoped (not permanent) because tests that execute the real reference
+    modules as oracles (tests/test_ref_chain_oracle.py) share the process:
+    a leaked fake `deepxi.inp_tgt` would shadow the real one for the rest
+    of the pytest session. The unpickled objects keep the stub classes
+    alive on their own; nothing needs to stay in sys.modules."""
+
+    def __enter__(self):
+        self._saved = {}
+        names = set()
+        for modname in _REF_CLASSES:
             parts = modname.split(".")
-            for i in range(1, len(parts) + 1):
-                name = ".".join(parts[:i])
-                if name not in sys.modules:
-                    sys.modules[name] = types.ModuleType(name)
-        mod = sys.modules[modname]
-        for c in classes:
-            if not hasattr(mod, c):
+            names.update(".".join(parts[:i]) for i in range(1, len(parts) + 1))
+        for name in names:
+            self._saved[name] = sys.modules.get(name)
+            sys.modules[name] = types.ModuleType(name)
+        for modname, classes in _REF_CLASSES.items():
+            mod = sys.modules[modname]
+            for c in classes:
                 setattr(mod, c, type(c, (), {}))
+        return self
+
+    def __exit__(self, *exc):
+        for name, prev in self._saved.items():
+            if prev is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = prev
+        return False
 
 
 def _to_np(v: Any) -> Any:
@@ -71,8 +90,7 @@ def load_inp_tgt_stats(path: str) -> Dict[str, Any]:
     ``f_s``, ``n_feat``, ``n_outp`` and one entry per map attribute found
     (e.g. ``xi_map`` -> {"map_type": str, "mu": np.ndarray, "sigma": ...}).
     """
-    _install_ref_stubs()
-    with open(path, "rb") as f:
+    with _ref_stub_scope(), open(path, "rb") as f:
         obj = pickle.load(f)
     out: Dict[str, Any] = {"inp_tgt_type": type(obj).__name__}
     d = obj.__dict__

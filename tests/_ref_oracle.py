@@ -49,6 +49,17 @@ def load_oracles():
         return None
     if REF not in sys.path:
         sys.path.insert(0, REF)
+    # Drop stubs other oracle loaders may have left (compat's pickle-scope
+    # stubs, test_ref_chain_oracle's non-package hybrid/mcra shims): a plain
+    # ModuleType named `hybrid` is not a package, so `import hybrid.phoneme`
+    # inside gmmn would fail against it. Real modules have __path__/__file__.
+    for name in list(sys.modules):
+        root = name.split(".")[0]
+        if root in ("deepxi", "hybrid", "mcra", "gmmn", "histogram2quantile"):
+            mod = sys.modules[name]
+            if getattr(mod, "__file__", None) is None and \
+                    getattr(mod, "__path__", None) is None:
+                del sys.modules[name]
     import matplotlib
     matplotlib.use("Agg")
     import numpy as np

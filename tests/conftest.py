@@ -28,7 +28,16 @@ if not _ON_TPU:
     jax.config.update("jax_platforms", "cpu")
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="include tests marked slow (>30 s each on a clean CPU); the "
+             "default run skips them to stay under ~10 min")
+
+
 def pytest_collection_modifyitems(config, items):
+    run_slow = (config.getoption("--slow")
+                or os.environ.get("DEEPXI_SLOW_TESTS") == "1")
     for item in items:
         if "tpu" in item.keywords and not _ON_TPU:
             item.add_marker(pytest.mark.skip(
@@ -36,8 +45,15 @@ def pytest_collection_modifyitems(config, items):
         elif "tpu" not in item.keywords and _ON_TPU:
             item.add_marker(pytest.mark.skip(
                 reason="CPU-mesh test (unset DEEPXI_TPU_TESTS)"))
+        elif "slow" in item.keywords and not run_slow:
+            item.add_marker(pytest.mark.skip(
+                reason="slow (>30 s); run with --slow or DEEPXI_SLOW_TESTS=1"))
 
 
 def pytest_configure(config):
     config.addinivalue_line("markers",
                             "tpu: runs on the real TPU chip only")
+    config.addinivalue_line(
+        "markers",
+        "slow: >30 s on a clean CPU; skipped unless --slow is given "
+        "(full suite = pytest tests/ -q --slow)")

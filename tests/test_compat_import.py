@@ -185,6 +185,7 @@ class TestMHANetV2Import:
 
 
 class TestResLSTMImport:
+    @pytest.mark.slow  # 32 s clean CPU: live Keras graph build + TF import
     def test_numeric_parity_with_keras(self):
         """Full numeric oracle: a live Keras model with the reference's
         exact layer structure (ref: deepxi/network/rnn.py:13-79, with the

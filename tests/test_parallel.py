@@ -46,6 +46,7 @@ class TestMesh:
         # output channels split over the 2 model shards
         assert k.addressable_shards[0].data.shape == (3, 64, 64)
 
+    @pytest.mark.slow  # 62 s clean CPU (VERDICT r3 #8 fast/full split)
     def test_data_parallel_train_step(self, devices):
         """Full dp train step over the 8-device mesh: gradients reduce via
         XLA-inserted collectives, loss matches single-device execution."""
@@ -96,6 +97,7 @@ class TestGraftEntry:
         out = jax.jit(fn)(*args)
         assert np.isfinite(np.asarray(out)).all()
 
+    @pytest.mark.slow  # 48 s clean CPU; the driver runs this path itself
     def test_dryrun_multichip(self, devices):
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
@@ -196,6 +198,7 @@ class TestMultiProcess:
         assert all(p.returncode == 0 for p in procs), "\n".join(logs)
         return json.load(open(out))
 
+    @pytest.mark.slow  # spawns 2 extra jax processes; heavy on 1 core
     def test_two_process_train_step_matches_single(self, tmp_path):
         multi = self._run_workers(2, tmp_path, 12431)
         assert multi["num_processes"] == 2

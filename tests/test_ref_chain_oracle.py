@@ -44,6 +44,23 @@ def _stub(name, **attrs):
     return mod
 
 
+_PREFIXES = ("deepxi", "mcra", "hybrid", "tqdm")
+
+
+def _purge_and_snapshot():
+    """Remove every sys.modules entry under the reference-module prefixes,
+    returning what was there. Both directions of contamination are real:
+    compat's pickle stubs would shadow the real `deepxi.inp_tgt` here, and
+    our non-package `hybrid`/`mcra` stubs would break test_ref_differential's
+    real imports afterwards -- each oracle loads into a clean namespace and
+    hands the previous one back on teardown."""
+    saved = {}
+    for name in list(sys.modules):
+        if name in _PREFIXES or name.startswith(tuple(p + "." for p in _PREFIXES)):
+            saved[name] = sys.modules.pop(name)
+    return saved
+
+
 @pytest.fixture(scope="module")
 def ref():
     """The reference MagXi transform + tf, loaded from the read-only mount
@@ -53,9 +70,9 @@ def ref():
         sys.path.insert(0, REF)
     if not hasattr(np, "product"):  # removed in numpy 2.0; same semantics
         np.product = np.prod
+    saved = _purge_and_snapshot()
     _stub("tqdm", tqdm=lambda x, **k: x)
-    if "deepxi.utils" not in sys.modules:  # librosa/soundfile unavailable
-        _stub("deepxi.utils", save_mat=None)
+    _stub("deepxi.utils", save_mat=None)  # librosa/soundfile unavailable
     _stub("mcra")
     _stub("mcra.mcra123", mcra=object, mcra_2=object, imcra=object)
     _stub("hybrid")
@@ -65,7 +82,9 @@ def ref():
     import deepxi.inp_tgt as ref_inp_tgt
     it = ref_inp_tgt.inp_tgt_selector(
         "MagXi", **DIMS, map_type="DBNormalCDF", map_params=None)
-    return it, tf
+    yield it, tf
+    _purge_and_snapshot()
+    sys.modules.update(saved)
 
 
 def _sample(n=6, length=16000):
