@@ -189,3 +189,37 @@ class TestMhanetArtifactAndCLI:
         p_noisy = pesq(s[:n], x[:n].astype(np.float64) / 32768.0, 16000, "nb")
         p_enh = pesq(s[:n], y[:n].astype(np.float64) / 32768.0, 16000, "nb")
         assert p_enh > p_noisy + 0.3, (p_noisy, p_enh)
+
+
+class TestRestoreStatsAllMaps:
+    """_restore_stats must restore EVERY map family's statistics, not just
+    xi_map (round-3 ADVICE medium: non-MagXi artifacts enhanced with
+    un-restored gamma/cd/s_stps/mag map stats)."""
+
+    def test_dual_map_family_restores_both(self):
+        from deepxi_tpu.compat.artifact import _restore_stats
+        from deepxi_tpu.inp_tgt import inp_tgt_selector
+
+        it = inp_tgt_selector("MagXiGamma", N_d=512, N_s=256, K=512,
+                              f_s=16000,
+                              map_type=["DBNormalCDF", "DBNormalCDF"],
+                              map_params=None)
+        n = it.n_feat
+        stats = {"xi_map.mu": np.full(n, 1.5), "xi_map.sigma": np.full(n, 2.5),
+                 "gamma_map.mu": np.full(n, -3.0),
+                 "gamma_map.sigma": np.full(n, 0.5)}
+        it = _restore_stats(it, stats)
+        np.testing.assert_allclose(np.asarray(it.xi_map.mu), 1.5)
+        np.testing.assert_allclose(np.asarray(it.xi_map.sigma), 2.5)
+        np.testing.assert_allclose(np.asarray(it.gamma_map.mu), -3.0)
+        np.testing.assert_allclose(np.asarray(it.gamma_map.sigma), 0.5)
+
+    def test_unknown_map_stats_error(self):
+        from deepxi_tpu.compat.artifact import _restore_stats
+        from deepxi_tpu.inp_tgt import inp_tgt_selector
+
+        it = inp_tgt_selector("MagXi", N_d=512, N_s=256, K=512, f_s=16000,
+                              map_type="DBNormalCDF", map_params=None)
+        stats = {"gamma_map.mu": np.zeros(it.n_feat)}
+        with pytest.raises(ValueError, match="gamma_map"):
+            _restore_stats(it, stats)
