@@ -223,3 +223,29 @@ class TestRestoreStatsAllMaps:
         stats = {"gamma_map.mu": np.zeros(it.n_feat)}
         with pytest.raises(ValueError, match="gamma_map"):
             _restore_stats(it, stats)
+
+
+class TestCLIEnhanceOddRate:
+    """--enhance must resample inputs whose rate differs from the
+    artifact's analysis rate (round-3 ADVICE low: an 8 kHz wav was
+    enhanced with 16 kHz STFT parameters and silently written back)."""
+
+    ROOT = TestMhanetArtifactAndCLI.ROOT
+
+    def test_8k_input_resampled(self, tmp_path):
+        import wave
+
+        from deepxi_tpu.cli import main
+        from deepxi_tpu.data.wavio import read_wav, save_wav
+
+        x16, _ = read_wav(os.path.join(self.ROOT, "c012_white_5dB.wav"))
+        x8 = x16[::2]  # crude decimation is fine as a rate-mismatch probe
+        p8 = str(tmp_path / "in8k.wav")
+        save_wav(p8, x8, 8000)
+        rc = main(["--enhance", self.ROOT, "--in_wavs", p8,
+                   "--out_dir", str(tmp_path / "out")])
+        assert rc == 0
+        with wave.open(str(tmp_path / "out" / "in8k.wav"), "rb") as w:
+            assert w.getframerate() == 16000
+            # resampled back up to the analysis rate: ~2x the 8k samples
+            assert abs(w.getnframes() - 2 * len(x8)) <= 512
