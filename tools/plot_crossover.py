@@ -16,7 +16,7 @@ Sources (checked-in campaign tables):
   2400 utts results/quality_campaign_big/campaign_table.md
             resnet e200 PESQ 2.93 STOI 89.06 | mhanet e400 2.92 89.57
   9600 utts results/quality_campaign_8x/campaign_table.md
-            resnet e100 PESQ 3.05 STOI 92.92 | mhanet (this round)
+            resnet e150 PESQ 3.07 STOI 93.14 | mhanet e200 3.11 92.57
 
 Regenerate: python tools/plot_crossover.py  ->  results/crossover.png
 """
@@ -31,9 +31,9 @@ import matplotlib.pyplot as plt
 # (corpus utterances, mhanet - resnet gap) at each model's best scored
 # checkpoint; None = not yet scored (point omitted).
 SIZES = [600, 2400, 9600]
-PESQ_GAP = [2.70 - 2.83, 2.92 - 2.93, None]
-STOI_GAP = [86.63 - 88.53, 89.57 - 89.06, None]
-EPOCH_NOTE = ["e600 vs e300", "e400 vs e200", "e? vs e100"]
+PESQ_GAP = [2.70 - 2.83, 2.92 - 2.93, 3.11 - 3.07]
+STOI_GAP = [86.63 - 88.53, 89.57 - 89.06, 92.57 - 93.14]
+EPOCH_NOTE = ["e600 vs e300", "e400 vs e200", "e200 vs e150"]
 
 # dataviz reference palette (light mode): series-1 blue, text inks,
 # chart surface; grid/zero-line in recessive grays.
