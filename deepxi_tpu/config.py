@@ -213,12 +213,15 @@ VERSION_PRESETS: Dict[str, Dict[str, Any]] = {
     # with DEEPXI_TPU_TESTS=1), so the flagship preset enables it for
     # inference. Random (untrained) weights DO diverge under bf16 -- the
     # neutrality claim is for trained models only.
-    # tcn_fused_train: the differentiable fused stack wins every
-    # interleaved A/B rep at the preset's own mbatch_size=8, median ~1.08x
-    # on the full step (isolated fwd+bwd 1.12x: 3.40 vs 3.80 ms; the
-    # remainder is this environment's dispatch jitter), and a full
-    # 150-epoch campaign trained through it matches the XLA path's
-    # quality (PESQ 2.70/STOI 87.8 vs 2.63/87.0 -- run-to-run noise).
+    # tcn_fused_train: the differentiable fused stack wins the
+    # interleaved A/B at the preset's own mbatch_size=8 (driver-protocol
+    # bench.bench_train_ab, round 5: fused 86.3 vs XLA 84.9 steps/s,
+    # ratio 1.017 on the full step; isolated fwd+bwd 1.12-1.20x -- the
+    # full step is dominated by mixing/STFT/Adam shared by both arms),
+    # and a full 150-epoch campaign trained through it matches the XLA
+    # path's quality (PESQ 2.70/STOI 87.8 vs 2.63/87.0 -- run-to-run
+    # noise). Round-4 driver benches that showed XLA ~1.5x ahead timed
+    # the arms sequentially, minutes apart -- relay-jitter artifact.
     "resnet-1.1c": dict(network_type="ResNetV2", d_model=256, n_blocks=40,
                         d_f=64, k=3, max_d_rate=16, causal=True,
                         unit_type="ReLU->LN->W+b", test_epoch=200,
