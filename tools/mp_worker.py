@@ -38,6 +38,11 @@ def main(argv=None) -> int:
                          "late under the axon sitecustomize)")
     ap.add_argument("--out", default=None,
                     help="JSON result path (written by process 0)")
+    ap.add_argument("--network", default="resnet",
+                    choices=("resnet", "mhanet"),
+                    help="mhanet runs the attention flagship's semantics "
+                         "(MHANetV3 + Transformer-schedule optimizer, the "
+                         "reference's 'MHA' branch, deepxi/model.py:194-200)")
     a = ap.parse_args(argv)
 
     jax.config.update("jax_platforms", a.platform)
@@ -68,10 +73,16 @@ def main(argv=None) -> int:
                           map_type="DBNormalCDF", map_params=None)
     sample = (np.abs(np.random.RandomState(0).randn(64, 257)) ** 2).astype(np.float32)
     it = it.replace(xi_map=it.xi_map.with_stats(jnp.asarray(sample)))
-    net = network_selector("ResNetV2", 257, d_model=32, n_blocks=2, d_f=16,
-                           k=3, max_d_rate=2, causal=True,
-                           unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
-    tx = make_optimizer("ResNetV2")
+    if a.network == "mhanet":
+        net = network_selector("MHANetV3", 257, d_model=32, n_blocks=2,
+                               n_heads=4, causal=True, outp_act="Sigmoid",
+                               max_len=64)
+        tx = make_optimizer("MHANetV3", 32, 100)
+    else:
+        net = network_selector("ResNetV2", 257, d_model=32, n_blocks=2, d_f=16,
+                               k=3, max_d_rate=2, causal=True,
+                               unit_type="ReLU->LN->W+b", outp_act="Sigmoid")
+        tx = make_optimizer("ResNetV2")
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((8, 16, 257)))
 
     mesh = make_mesh()  # "data" axis spans every device of every process
