@@ -61,11 +61,16 @@ def _framed(x: np.ndarray, fs: int, windowed: bool = True) -> np.ndarray:
 
 
 def _trimmed_mean(vals: np.ndarray, alpha: float = _ALPHA) -> float:
-    """Mean of the lowest round(alpha*N) sorted values (composite.m:49-58)."""
+    """Mean of the lowest round(alpha*N) sorted values (composite.m:49-58).
+
+    MATLAB round() is half-AWAY-FROM-ZERO; Python's round is banker's, so
+    `int(round(...))` kept one frame too few whenever N*alpha landed on
+    .5 (e.g. 150 frames -> 142 instead of MATLAB's 143). Caught by the
+    composite.m differential oracle (tests/test_composite_oracle.py)."""
     if len(vals) == 0:
         return 0.0
     v = np.sort(vals)
-    return float(np.mean(v[: int(round(len(v) * alpha))]))
+    return float(np.mean(v[: int(np.floor(len(v) * alpha + 0.5))]))
 
 
 # ---------------------------------------------------------------------------
