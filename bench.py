@@ -719,6 +719,24 @@ def main():
             extra["streaming_mha_chunked_skipped"] = skipped
     except Exception as e:  # pragma: no cover
         extra["streaming_mha_chunked_error"] = str(e)[:200]
+    # latency/capacity curve (round-4 VERDICT next #5): the hb=1 and hb=8
+    # endpoints reuse the sweeps above; hb=2/4 measure one or two shapes
+    # around the knees tools/stream_mha_curve.py charted on hardware
+    try:
+        curve = []
+        if "streaming_mha_channels_per_chip" in extra:
+            curve.append([16, extra["streaming_mha_channels_per_chip"]])
+        for hb, cands in ((2, (384, 256)), (4, (768, 512))):
+            b, ms, _ = bench_streaming_mha_capacity_chunked(
+                hop_batch=hb, candidates=cands)
+            extra[f"streaming_mha_channels_hb{hb}"] = b
+            extra[f"streaming_mha_ms_per_chunk_hb{hb}"] = round(ms, 3)
+            curve.append([16 * hb, b])
+        if "streaming_mha_channels_per_chip_chunked" in extra:
+            curve.append([128, extra["streaming_mha_channels_per_chip_chunked"]])
+        extra["streaming_mha_capacity_curve"] = curve
+    except Exception as e:  # pragma: no cover
+        extra["streaming_mha_curve_error"] = str(e)[:200]
     partial["done"] = True
     wd.cancel()
     result = partial["result"]
