@@ -31,8 +31,10 @@ if not _ON_TPU:
 def pytest_addoption(parser):
     parser.addoption(
         "--slow", action="store_true", default=False,
-        help="include tests marked slow (>30 s each on a clean CPU); the "
-             "default run skips them to stay under ~10 min")
+        help="include the ~20 tests marked slow (the heaviest compile "
+             "chains; calibrated from a round-5 --durations=40 pass on a "
+             "contended VM). The default run keeps one fast representative "
+             "per kernel family")
 
 
 def pytest_collection_modifyitems(config, items):
@@ -55,5 +57,5 @@ def pytest_configure(config):
                             "tpu: runs on the real TPU chip only")
     config.addinivalue_line(
         "markers",
-        "slow: >30 s on a clean CPU; skipped unless --slow is given "
-        "(full suite = pytest tests/ -q --slow)")
+        "slow: heaviest tests (>25 s contended CPU); skipped unless --slow "
+        "is given (full suite = pytest tests/ -q --slow)")

@@ -18,8 +18,9 @@ def make_input(B=2, T=70, F=257, valid=(70, 45)):
     return jnp.asarray(x)
 
 
-@pytest.mark.parametrize("causal", [True, False])
-@pytest.mark.parametrize("nt", ["MHANetV2", "MHANetV3"])
+@pytest.mark.parametrize("nt,causal", [
+    pytest.param("MHANetV2", True, marks=pytest.mark.slow),  # 35 s contended
+    ("MHANetV2", False), ("MHANetV3", True), ("MHANetV3", False)])
 def test_block_matches_full(nt, causal):
     kw = dict(d_model=32, n_blocks=2, n_heads=4, causal=causal,
               outp_act="Sigmoid")

@@ -93,6 +93,7 @@ class TestTrain:
         assert os.path.exists(os.path.join(dx.cfg.data_path, "tiny_stats.npz"))
         assert os.path.exists(os.path.join(dx.cfg.data_path, "sample.npz"))
 
+    @pytest.mark.slow  # second DeepXiTPU + fresh compiles: 50 s contended
     def test_resume(self, trained):
         from deepxi_tpu.data import batch_list
         from deepxi_tpu.framework import DeepXiTPU

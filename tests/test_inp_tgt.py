@@ -131,6 +131,7 @@ class TestSTDCT:
             inp_tgt_selector("MagBogus", **DIMS)
 
 
+@pytest.mark.slow  # >25 s on a contended CPU (r4 VERDICT #8 durations pass)
 def test_stdct_enhanced_speech_at_signal_scale():
     """STDCTXiCD synthesis must return waveforms at signal scale: the
     reference's unnormalised tf idct carries a 2K round-trip gain

@@ -211,6 +211,7 @@ print("V3_ORACLE_OK", idx)
 
 
 class TestMHANetV3KerasOracle:
+    @pytest.mark.slow  # legacy-Keras subprocess: 37 s contended
     def test_numeric_parity_subprocess(self, tmp_path):
         """Forward parity vs the reference's live MHANetV3 graph
         (ref: deepxi/network/attention.py:387-442) -- V2 plus the

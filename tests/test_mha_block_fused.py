@@ -47,6 +47,7 @@ def test_non_causal(setup):
         np.testing.assert_allclose(y[b, :t], y_ref[b, :t], atol=1e-4)
 
 
+@pytest.mark.slow  # >25 s on a contended CPU (r4 VERDICT #8 durations pass)
 def test_long_sequence_falls_back(setup):
     """Beyond whole_max_t the flax fused-attention path takes over; output
     still matches the full path."""
@@ -73,6 +74,7 @@ def test_matches_flax_v2_no_positional(setup):
         np.testing.assert_allclose(y[b, :t], y_ref[b, :t], atol=1e-4)
 
 
+@pytest.mark.slow  # >25 s on a contended CPU (r4 VERDICT #8 durations pass)
 def test_query_tiled_long_sequence(setup):
     """Sequences past the logits cap run the row-tiled attention + FFN
     path inside the same kernel; equivalence holds across the tile seams

@@ -62,7 +62,11 @@ class TestParamParity:
 
 
 class TestZoo:
-    @pytest.mark.parametrize("nt,kw", SMALL, ids=[c[0] + str(i) for i, c in enumerate(SMALL)])
+    @pytest.mark.parametrize("nt,kw", [
+        pytest.param(c[0], c[1], id=c[0] + str(i),
+                     marks=([pytest.mark.slow] if c[0] == "RDLNet"
+                            else []))  # lattice compile: 50 s contended
+        for i, c in enumerate(SMALL)])
     def test_shapes_and_finite(self, nt, kw):
         x = make_input()
         net = network_selector(nt, 257, **kw)

@@ -133,6 +133,7 @@ class TestMHANetMesh:
                         jnp.zeros(4))
         assert np.isfinite(float(m["loss"]))
 
+    @pytest.mark.slow  # 34 s contended; the driver dryrun covers this cell too
     def test_mhanet_dp_train_step_matches_single(self, devices):
         """dp-sharded MHANet step parity vs single-device (round-4 VERDICT
         next #6): identical loss and updated params when the batch is

@@ -35,6 +35,7 @@ def setup():
     return it, net, params
 
 
+@pytest.mark.slow  # >25 s on a contended CPU (r4 VERDICT #8 durations pass)
 @pytest.mark.parametrize("causal", [True, False])
 def test_ring_attention_matches_full(causal):
     """Raw ring op on an 8-shard mesh == full-softmax reference on the
@@ -74,6 +75,7 @@ def test_ring_attention_matches_full(causal):
                                atol=3e-5)
 
 
+@pytest.mark.slow  # >25 s on a contended CPU (r4 VERDICT #8 durations pass)
 def test_ring_apply_matches_flax(setup):
     """mhanet_ring_apply over the mesh == MHANetV3.apply on the gathered
     magnitude batch (valid frames)."""

@@ -54,6 +54,7 @@ def test_server_matches_live_pipeline(small):
     np.testing.assert_allclose(y_srv, y_live, atol=1e-6)
 
 
+@pytest.mark.slow  # >25 s on a contended CPU (r4 VERDICT #8 durations pass)
 def test_framework_export_serving(tmp_path):
     """DeepXiTPU.export_serving end-to-end: train a tiny model one epoch,
     export the checkpoint, reload with no model objects, enhance."""

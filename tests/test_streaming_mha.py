@@ -100,6 +100,7 @@ def test_step_block_equals_sequential_steps(it, hop_batch):
     np.testing.assert_allclose(y_blk, y_seq, atol=2e-5)
 
 
+@pytest.mark.slow  # 32 s contended; sequential-parity cases keep fast coverage
 def test_step_block_matches_offline(it):
     """Chunked streaming equals the offline fused pipeline end-to-end."""
     net, params = make_net("MHANetV2")

@@ -39,7 +39,10 @@ def test_forward_matches(setup):
                                np.asarray(net.apply(params, x)), atol=1e-5)
 
 
-@pytest.mark.parametrize("save_acts", [False, True])
+@pytest.mark.parametrize("save_acts", [
+    pytest.param(False, marks=pytest.mark.slow),  # replay backward: 30 s
+    True,  # save_acts is the production default -- stays fast
+])
 def test_gradients_match_flax(setup, save_acts):
     """Both backward strategies (in-kernel forward replay, and replay-free
     via activations recorded by the saving forward) match jax.grad."""
