@@ -74,6 +74,19 @@ def _emit(obj):
     print(json.dumps(obj))
 
 
+def _snapshot_last_known(result):
+    """Persist the run's record for _fail_json's last_known fallback on a
+    future dead-relay run (POSIX trailing newline: round-4 ADVICE)."""
+    try:
+        os.makedirs(os.path.dirname(_LAST_KNOWN), exist_ok=True)
+        with open(_LAST_KNOWN, "w") as f:
+            json.dump(dict(result, recorded_at=time.strftime("%Y-%m-%d")),
+                      f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
+
+
 def _fail_json(err):
     """One parseable JSON line on persistent failure: the error plus the
     last bench this repo successfully recorded (never a bare traceback)."""
@@ -622,6 +635,9 @@ def main():
     import threading
 
     partial = {"result": None, "done": False}
+    # 60 min: the round-5 sections (interleaved train A/B ~4 min, hb=2/4
+    # curve compiles at 20-60 s each) push a healthy run to ~35-45 min.
+    wd_min = 60
 
     def _watchdog():
         if partial["done"]:
@@ -629,16 +645,17 @@ def main():
         if partial["result"] is not None:
             res = dict(partial["result"])
             res["extra"] = dict(res["extra"],
-                                watchdog="expired mid-extras (45 min)")
+                                watchdog=f"expired mid-extras ({wd_min} min)")
+            _snapshot_last_known(res)  # keep _fail_json's fallback fresh
             _emit(res)
         else:
-            _fail_json("bench watchdog expired (45 min) before the "
+            _fail_json(f"bench watchdog expired ({wd_min} min) before the "
                        "headline: dispatch hung, chip held elsewhere or "
                        "relay wedged")
         sys.stdout.flush()
         os._exit(0)
 
-    wd = threading.Timer(45 * 60, _watchdog)
+    wd = threading.Timer(wd_min * 60, _watchdog)
     wd.daemon = True
     wd.start()
 
@@ -740,14 +757,7 @@ def main():
     partial["done"] = True
     wd.cancel()
     result = partial["result"]
-    try:  # snapshot for _fail_json's last_known on a future dead-relay run
-        os.makedirs(os.path.dirname(_LAST_KNOWN), exist_ok=True)
-        with open(_LAST_KNOWN, "w") as f:
-            json.dump(dict(result, recorded_at=time.strftime("%Y-%m-%d")),
-                      f, indent=1)
-            f.write("\n")  # POSIX text file (round-4 ADVICE)
-    except OSError:
-        pass
+    _snapshot_last_known(result)
     _emit(result)
     return 0
 

@@ -39,7 +39,10 @@ _ALPHA = 0.95  # lowest-95%-of-frames aggregation (composite.m:36)
 
 
 def _win_hop(fs: int) -> Tuple[int, int]:
-    win = int(round(30 * fs / 1000.0))
+    # MATLAB round() is half-away-from-zero; Python round() is banker's.
+    # They differ only when 30*fs/1000 lands on an even .5 (no common fs
+    # does), but use the MATLAB convention the scorer transcribes.
+    win = int(np.floor(30 * fs / 1000.0 + 0.5))
     return win, win // 4
 
 

@@ -274,8 +274,12 @@ def _compute_delay(start_sample, stop_sample, search_range,
     power1 = _pow_of(time_series1, start_sample, stop_sample, n) * n / power_of_2
     power2 = _pow_of(time_series2, start_sample, stop_sample, n) * n / power_of_2
     normalization = math.sqrt(power1 * power2)
-    if power1 <= 1e-6 or power2 <= 1e-6:
-        return 0, 0.0
+    # pesq.m:1542-1545 sets best_delay/max_correlation to 0 when either
+    # power <= 1e-6 but does NOT return -- control falls through to the
+    # FFT correlation below, which overwrites both (the MATLAB branch is
+    # dead code). Transcribe the fall-through, not the intent; with
+    # normalization == 0 the h = inf/nan comparisons behave identically
+    # in MATLAB and NumPy (inf > x true, nan > x false).
     x1 = np.zeros(power_of_2)
     x2 = np.zeros(power_of_2)
     x1[:n] = np.abs(time_series1[start_sample - 1:stop_sample])

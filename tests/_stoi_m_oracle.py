@@ -120,7 +120,10 @@ def oracle_stoi(x, y, fs_signal=FS):
         Y[:, i] = np.sqrt(H @ np.abs(y_hat[:, i]) ** 2)
 
     c = 10.0 ** (-Beta / 20.0)
-    d_interm = np.zeros((H.shape[0], n_fr - N + 1))
+    # stoi.m:71 zeros(J, length(N:n_fr)): an empty range when n_fr < N
+    # (mostly-silent input), so mean(d_interm(:)) is NaN -- mirror that
+    # instead of np.zeros with a negative dimension.
+    d_interm = np.zeros((H.shape[0], max(0, n_fr - N + 1)))
     for m in range(N - 1, n_fr):  # MATLAB m = N:size(X,2)
         X_seg = X[:, m - N + 1:m + 1]
         Y_seg = Y[:, m - N + 1:m + 1]
