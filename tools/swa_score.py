@@ -42,12 +42,20 @@ def main(argv=None) -> int:
                     help="must match the training run so the optimizer "
                          "template restores (only params are used)")
     ap.add_argument("--copy_results_to", default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (cpu/tpu). Scoring runs use "
+                         "cpu so they overlap single-chip TPU jobs (the "
+                         "axon sitecustomize overrides JAX_PLATFORMS env, "
+                         "so this must go through jax.config.update)")
     args = ap.parse_args(argv)
 
     epochs = [int(e) for e in args.epochs.split(",")]
     os.chdir(args.work)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from deepxi_tpu.config import preset
     from deepxi_tpu.data import batch_list
