@@ -743,7 +743,10 @@ def main():
         curve = []
         if "streaming_mha_channels_per_chip" in extra:
             curve.append([16, extra["streaming_mha_channels_per_chip"]])
-        for hb, cands in ((2, (384, 256)), (4, (768, 512))):
+        # candidates start at the hardware-measured capacities
+        # (results/hw_evidence_r5/stream_mha_curve.log: hb2 -> 512,
+        # hb4 -> 1024, the HBM plateau)
+        for hb, cands in ((2, (512, 384)), (4, (1024, 768))):
             b, ms, _ = bench_streaming_mha_capacity_chunked(
                 hop_batch=hb, candidates=cands)
             extra[f"streaming_mha_channels_hb{hb}"] = b
