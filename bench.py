@@ -499,7 +499,10 @@ def bench_streaming_mha_capacity_chunked(hop_batch=8, n_rep=10,
     tests/test_streaming_mha.py. v5e (2026-08): B=1024 clears a 128 ms
     chunk in 55.4 ms -- 1024 real-time channels at +128 ms latency; 2048
     cannot fit the ~5.2 MB/channel caches in 16 GB HBM, so 1024 is the
-    chip's memory ceiling, not a compute wall."""
+    chip's memory ceiling, not a compute wall. The round-5 curve sweep
+    (results/hw_evidence_r5/stream_mha_curve.log) showed the plateau is
+    already reachable at hop_batch=4 (+64 ms): 1024 channels clear a
+    64 ms chunk in 48.7 ms."""
     import gc
 
     from deepxi_tpu.models import network_selector
