@@ -489,7 +489,8 @@ def bench_streaming_mha_capacity(budget_ms=16.0, n_rep=20,
 
 
 def bench_streaming_mha_capacity_chunked(hop_batch=8, n_rep=10,
-                                         candidates=(1024, 512, 256)):
+                                         candidates=(1024, 512, 256),
+                                         max_len=2048):
     """Hop-batched ("chunked") streaming-MHANet capacity: `step_block`
     processes ``hop_batch`` 16 ms hops per dispatch, so each block's KV
     cache is read once per ``hop_batch`` hops and the attention logits are
@@ -512,7 +513,7 @@ def bench_streaming_mha_capacity_chunked(hop_batch=8, n_rep=10,
     it = _mag_xi(5)
     net = network_selector("MHANetV3", 257, d_model=256, n_blocks=5,
                            n_heads=8, causal=True, outp_act="Sigmoid",
-                           max_len=2048)
+                           max_len=max_len)
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 257)))
     sm = StreamingMHANet(it, net, params, "mmse-lsa",
                          cache_dtype=jnp.bfloat16)
